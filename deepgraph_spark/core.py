@@ -1,0 +1,301 @@
+"""DeepGraphFrame — the (v, e) node/edge-table pair as Spark DataFrames.
+
+Mirrors the reference's central ``DeepGraph`` object (deepgraph.py:82-99):
+``v`` is the node table (unique id column), ``e`` the edge table with columns
+``s, t`` keeping the upper-triangle invariant ``s < t``
+(deepgraph.py:232-234). All graph-partitioning, filtering and interface
+methods from the reference are re-expressed as declarative DataFrame plans so
+Catalyst handles pruning/pushdown/join-selection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from deepgraph_spark import edges as _edges
+
+
+def _as_list(x):
+    if x is None:
+        return []
+    return [x] if isinstance(x, str) else list(x)
+
+
+#: aggregation-name → Spark function for partition_* feature/relation funcs
+_AGG_FUNCS = {
+    "min": F.min,
+    "max": F.max,
+    "sum": F.sum,
+    "mean": F.mean,
+    "avg": F.mean,
+    "std": F.stddev_samp,
+    "var": F.var_samp,
+    "count": F.count,
+    "first": F.first,
+    "last": F.last,
+    "list": F.collect_list,
+    "set": F.collect_set,
+    "nunique": F.countDistinct,
+    "median": lambda c: F.median(c),
+}
+
+
+def _agg_exprs(func_dic: dict | None, prefix_sep: str = "_") -> list:
+    """Build aliased agg expressions; multi-func columns get ``{col}_{fn}``
+    names, flattened exactly like the reference
+    (iterators_and_indexers.py:139-146)."""
+    exprs = []
+    for col, funcs in (func_dic or {}).items():
+        funcs = funcs if isinstance(funcs, (list, tuple)) else [funcs]
+        multi = len(funcs) > 1
+        for fn in funcs:
+            if callable(fn) and not isinstance(fn, str):
+                raise TypeError(
+                    f"python callables are driver-side only in the reference; "
+                    f"use a named agg from {sorted(_AGG_FUNCS)} or a Column for {col}"
+                )
+            name = fn
+            expr = _AGG_FUNCS[name](F.col(col))
+            alias = f"{col}{prefix_sep}{name}" if multi else col
+            exprs.append(expr.alias(alias))
+    return exprs
+
+
+class DeepGraphFrame:
+    """Node table ``v`` + edge table ``e`` (both Spark DataFrames).
+
+    ``index_col`` names the unique node id column in ``v``; ``e`` uses
+    ``s`` / ``t`` id columns (``s < t`` invariant).
+    """
+
+    def __init__(self, v: DataFrame, e: DataFrame | None = None, index_col: str = "id"):
+        self.v = v
+        self.e = e
+        self.index_col = index_col
+
+    # -- construction -----------------------------------------------------
+    def create_edges(self, connectors=None, selectors=None, **kw) -> "DeepGraphFrame":
+        self.e = _edges.create_edges(
+            self.v, connectors, selectors, index_col=self.index_col, **kw
+        )
+        return self
+
+    def create_edges_ft(self, ft_feature, connectors=None, selectors=None, **kw) -> "DeepGraphFrame":
+        self.e = _edges.create_edges_ft(
+            self.v, ft_feature, connectors, selectors, index_col=self.index_col, **kw
+        )
+        return self
+
+    # -- properties (deepgraph.py:3697-3740) ------------------------------
+    @property
+    def n(self) -> int:
+        return self.v.count()
+
+    @property
+    def m(self) -> int:
+        return self.e.count() if self.e is not None else 0
+
+    def f(self) -> dict:
+        """Per-column non-null counts of v."""
+        row = self.v.agg(*[F.count(c).alias(c) for c in self.v.columns]).collect()[0]
+        return row.asDict()
+
+    def r(self) -> dict:
+        row = self.e.agg(*[F.count(c).alias(c) for c in self.e.columns]).collect()[0]
+        return row.asDict()
+
+    # -- supernode labels (deepgraph.py:101-111,137-146) ------------------
+    def supernode_labels_by(self, label_col: str, by) -> "DeepGraphFrame":
+        """Dense group-id enumeration: join v against a ranked distinct-key
+        table (the scalable analog of pandas ``grouper.group_info[0]``)."""
+        by = _as_list(by)
+        labels = (
+            self.v.select(*by)
+            .distinct()
+            .withColumn(label_col, F.dense_rank().over(Window.orderBy(*by)) - 1)
+        )
+        self.v = self.v.join(F.broadcast(labels), on=by, how="left")
+        return self
+
+    # -- partitioning (deepgraph.py:1086-1744) -----------------------------
+    def partition_nodes(self, features, feature_funcs: dict | None = None, n_nodes: bool = True) -> DataFrame:
+        features = _as_list(features)
+        aggs = []
+        if n_nodes:
+            aggs.append(F.count(F.lit(1)).alias("n_nodes"))
+        aggs += _agg_exprs(feature_funcs)
+        return self.v.groupBy(*features).agg(*aggs)
+
+    def _enriched_edges(self, source_features, target_features) -> DataFrame:
+        """Transfer v features onto e on demand (ref deepgraph.py:1469-1492)
+        via two equi-joins; the projected v side is broadcast when narrow."""
+        e = self.e
+        sf, tf = _as_list(source_features), _as_list(target_features)
+        if sf:
+            vs = self.v.select(F.col(self.index_col).alias("s"), *[F.col(c).alias(f"{c}_s") for c in sf])
+            e = e.join(vs, "s", "left")
+        if tf:
+            vt = self.v.select(F.col(self.index_col).alias("t"), *[F.col(c).alias(f"{c}_t") for c in tf])
+            e = e.join(vt, "t", "left")
+        return e
+
+    def partition_edges(
+        self,
+        relations=None,
+        source_features=None,
+        target_features=None,
+        relation_funcs: dict | None = None,
+        n_edges: bool = True,
+    ) -> DataFrame:
+        relations = _as_list(relations)
+        sf, tf = _as_list(source_features), _as_list(target_features)
+        e = self._enriched_edges(sf, tf)
+        keys = [f"{c}_s" for c in sf] + [f"{c}_t" for c in tf] + relations
+        aggs = []
+        if n_edges:
+            aggs.append(F.count(F.lit(1)).alias("n_edges"))
+        aggs += _agg_exprs(relation_funcs)
+        return e.groupBy(*keys).agg(*aggs)
+
+    def partition_graph(
+        self,
+        features,
+        feature_funcs: dict | None = None,
+        relation_funcs: dict | None = None,
+        n_nodes: bool = True,
+        n_edges: bool = True,
+    ) -> tuple[DataFrame, DataFrame]:
+        """Supergraph: the node partition induces the edge partition
+        (ref deepgraph.py:1507-1744). Returns (sv, se)."""
+        features = _as_list(features)
+        sv = self.partition_nodes(features, feature_funcs, n_nodes)
+        se = self.partition_edges(
+            relations=None,
+            source_features=features,
+            target_features=features,
+            relation_funcs=relation_funcs,
+            n_edges=n_edges,
+        )
+        return sv, se
+
+    # -- filters (deepgraph.py:2539-2695) ----------------------------------
+    def filter_by_values_v(self, col: str, values) -> "DeepGraphFrame":
+        values = values if isinstance(values, (list, tuple, set)) else [values]
+        self.v = self.v.where(F.col(col).isin(list(values)))
+        self.update_edges()
+        return self
+
+    def filter_by_values_e(self, relation: str, values) -> "DeepGraphFrame":
+        values = values if isinstance(values, (list, tuple, set)) else [values]
+        self.e = self.e.where(F.col(relation).isin(list(values)))
+        return self
+
+    def filter_by_interval_v(self, col: str, interval, endpoint: bool = True) -> "DeepGraphFrame":
+        lo, hi = interval
+        pred = (F.col(col) >= lo) & ((F.col(col) <= hi) if endpoint else (F.col(col) < hi))
+        self.v = self.v.where(pred)
+        self.update_edges()
+        return self
+
+    def filter_by_interval_e(self, relation: str, interval, endpoint: bool = True) -> "DeepGraphFrame":
+        lo, hi = interval
+        pred = (F.col(relation) >= lo) & ((F.col(relation) <= hi) if endpoint else (F.col(relation) < hi))
+        self.e = self.e.where(pred)
+        return self
+
+    def update_edges(self) -> "DeepGraphFrame":
+        """Cascade node deletion to edges: double semi-join
+        (ref deepgraph.py:2539-2556, ``s.isin(v.index) & t.isin(v.index)``)."""
+        if self.e is None:
+            return self
+        ids = self.v.select(F.col(self.index_col).alias("__id"))
+        self.e = (
+            self.e.join(ids.withColumnRenamed("__id", "s"), "s", "left_semi")
+            .join(ids.withColumnRenamed("__id", "t"), "t", "left_semi")
+        )
+        return self
+
+    # -- binning / datetime categories (deepgraph.py:2321-2537) ------------
+    def append_binning_labels_v(
+        self, col: str, new_col: str, bins: int = 10, log_bins: bool = False, floor_: bool = False
+    ) -> "DeepGraphFrame":
+        """Histogram bin labels over [min, max] with ``bins`` edges
+        (``bins - 1`` buckets, right-closed last bucket), linear or log10 —
+        semantics of the reference's ``np.digitize``-based labeller
+        (deepgraph.py:2321-2460; bin edges at utils.py:6-25)."""
+        x = F.log10(F.col(col)) if log_bins else F.col(col)
+        mm = self.v.agg(
+            F.min(x).alias("lo"), F.max(x).alias("hi")
+        ).collect()[0]
+        lo, hi = float(mm["lo"]), float(mm["hi"])
+        nb = bins - 1
+        width = (hi - lo) / nb if hi > lo else 1.0
+        raw = F.floor((x - F.lit(lo)) / F.lit(width))
+        label = F.when(x >= hi, nb - 1).otherwise(raw).cast("int")
+        if floor_:
+            edge_val = (F.lit(lo) + label * F.lit(width))
+            out = F.pow(F.lit(10.0), edge_val) if log_bins else edge_val
+            self.v = self.v.withColumn(new_col, out)
+        else:
+            self.v = self.v.withColumn(new_col, label)
+        return self
+
+    def append_datetime_categories_v(self, col: str, tod_col: str = "tod", season_col: str = "season") -> "DeepGraphFrame":
+        """time-of-day ∈ {0..3} (6h blocks) and meteorological season ∈ {0..3}
+        (DJF=0, MAM=1, JJA=2, SON=3) — ref deepgraph.py:2462-2537."""
+        h = F.hour(F.col(col))
+        m = F.month(F.col(col))
+        self.v = self.v.withColumn(tod_col, F.floor(h / 6).cast("int")).withColumn(
+            season_col, (F.floor((m % 12) / 3)).cast("int")
+        )
+        return self
+
+    # -- exports (test-oracle only; ref deepgraph.py:1746-2242) -------------
+    def to_scipy_coo(self, relation: str | None = None, dropna: bool = True):
+        """COO adjacency for *small* graphs (collects to the driver — the
+        distributed analog for algorithms is the per-partition CSR path in
+        deepgraph_spark.algorithms)."""
+        import numpy as np
+        import scipy.sparse as sp
+
+        vpd = self.v.select(self.index_col).toPandas()
+        ids = np.sort(vpd[self.index_col].values)
+        pos = {x: i for i, x in enumerate(ids)}
+        cols = ["s", "t"] + ([relation] if relation else [])
+        epd = self.e.select(*cols).toPandas()
+        if relation and dropna:
+            epd = epd.dropna(subset=[relation])
+        data = epd[relation].values if relation else np.ones(len(epd), bool)
+        rows = np.array([pos[x] for x in epd["s"].values])
+        colsx = np.array([pos[x] for x in epd["t"].values])
+        return sp.coo_matrix((data, (rows, colsx)), shape=(len(ids), len(ids)))
+
+    def to_networkx(self, relations=None, dropna: str = "none"):
+        import networkx as nx
+
+        g = nx.DiGraph()
+        relations = _as_list(relations)
+        vpd = self.v.toPandas()
+        for _, row in vpd.iterrows():
+            g.add_node(row[self.index_col], **{c: row[c] for c in vpd.columns if c != self.index_col})
+        epd = self.e.toPandas()
+        if dropna == "any" and relations:
+            epd = epd.dropna(subset=relations, how="any")
+        elif dropna == "all" and relations:
+            epd = epd.dropna(subset=relations, how="all")
+        for _, row in epd.iterrows():
+            g.add_edge(row["s"], row["t"], **{c: row[c] for c in relations})
+        return g
+
+
+def with_dense_index(df: DataFrame, order_by, index_col: str = "id") -> DataFrame:
+    """Attach a dense 0-based node id ordered by ``order_by``.
+
+    Window-based (single-pass) for test-scale tables; at 100 TB scale the id
+    should instead come from the natural key (e.g. ``xxhash64(conv_id,
+    turn_idx)``) or a precomputed dimension — see datagen/transcript ids.
+    """
+    order_by = _as_list(order_by)
+    w = Window.orderBy(*[F.col(c) for c in order_by])
+    return df.withColumn(index_col, F.row_number().over(w).cast("long") - 1)
