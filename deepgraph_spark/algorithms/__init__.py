@@ -1,0 +1,22 @@
+"""Distributed graph kernels over the (s, t) edge table.
+
+The reference delegates these to scipy/graph-tool exports
+(deepgraph.py:1746-2242; append_cp at deepgraph.py:2244-2319); here they are
+first-class distributed operators: driver-side superstep loops over
+checkpointed DataFrames.
+"""
+
+from deepgraph_spark.algorithms.checkpoint import SuperstepCheckpoint
+from deepgraph_spark.algorithms.components import connected_components
+from deepgraph_spark.algorithms.lpa import label_propagation
+from deepgraph_spark.algorithms.pagerank import pagerank
+from deepgraph_spark.algorithms.triangles import triangle_count, triangles_per_vertex
+
+__all__ = [
+    "SuperstepCheckpoint",
+    "connected_components",
+    "label_propagation",
+    "pagerank",
+    "triangle_count",
+    "triangles_per_vertex",
+]

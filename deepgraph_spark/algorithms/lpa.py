@@ -1,0 +1,77 @@
+"""Synchronous label propagation over the undirected edge view.
+
+Deterministic update (north_rule demands exact parity): each superstep every
+vertex adopts the most frequent label among its neighbors, ties broken by the
+smaller label; isolated vertices keep their label. Initial label = vertex id.
+Converges when no label changes (or ``max_iter``). Synchronous + ordered
+tie-break makes the result independent of partitioning — the engine-wide
+invariance property (SURVEY.md §5.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from deepgraph_spark.algorithms.checkpoint import SuperstepCheckpoint
+
+
+def label_propagation(
+    edges: DataFrame,
+    *,
+    src: str = "s",
+    dst: str = "t",
+    vertices: DataFrame | None = None,
+    index_col: str = "id",
+    max_iter: int = 10,
+    checkpoint_dir: str | None = None,
+    job_id: str = "lpa",
+    resume: bool = True,
+) -> DataFrame:
+    """Returns ``(id, label)``."""
+    spark = edges.sparkSession
+    ckpt = SuperstepCheckpoint(spark, checkpoint_dir, job_id)
+
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    ).distinct().persist()
+
+    if vertices is not None:
+        verts = vertices.select(F.col(vertices.columns[0]).alias("id")).distinct()
+    else:
+        verts = sym.select(F.col("u").alias("id")).distinct()
+
+    labels = verts.select("id", F.col("id").alias("label"))
+    start_iter = 0
+    if resume:
+        latest = ckpt.latest()
+        if latest is not None:
+            start_iter, labels, m = latest
+            if m.get("changed", 1) == 0:
+                start_iter = max_iter  # already converged
+            else:
+                start_iter += 1
+
+    for k in range(start_iter, max_iter):
+        nbr_labels = sym.join(
+            labels.select(F.col("id").alias("v"), "label"), "v"
+        ).select(F.col("u").alias("id"), "label")
+        counts = nbr_labels.groupBy("id", "label").agg(F.count(F.lit(1)).alias("cnt"))
+        w = Window.partitionBy("id").orderBy(F.desc("cnt"), F.asc("label"))
+        best = counts.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).select(
+            "id", F.col("label").alias("new_label")
+        )
+        new_labels = labels.join(best, "id", "left").select(
+            "id", F.coalesce("new_label", "label").alias("label")
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "id")
+            .where(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = ckpt.save(k, new_labels, {"changed": int(changed)})
+        if changed == 0:
+            break
+
+    sym.unpersist()
+    return labels

@@ -1,0 +1,264 @@
+"""Distributed PageRank with checkpoint/resume and explicit skew handling.
+
+Power iteration with damping ``d`` over the directed edge table::
+
+    r_{k+1}(v) = (1-d)/n + d * ( Σ_{u→v} r_k(u)/outdeg(u) + dangling_k / n )
+
+which is exactly the numpy power-iteration oracle's update (dangling mass
+redistributed uniformly), so per-vertex scores converge to allclose-1e-6
+parity (north_rule).
+
+Two physical strategies, selected by ``mode``:
+
+* ``"join"`` (default, the 100 TB path): one shuffle per superstep —
+  ``ranks ⋈ edges`` then ``groupBy(dst).sum``. Spark's partial aggregation
+  does map-side combine; ``salt`` additionally splits hot destination keys
+  (hub vertices) into ``salt`` sub-keys with a two-phase aggregation so no
+  single reducer owns a whole hub (SURVEY.md §4.3).
+* ``"blocks"`` — per-partition CSR SpMV accelerator for graphs whose rank
+  vector fits in executor memory (≲10^8 vertices): the rank vector is
+  broadcast as a dense numpy array keyed by dense vertex position and each
+  edge partition multiplies its local CSR block, emitting pre-aggregated
+  (dst, partial) rows. Orders of magnitude less shuffle volume per superstep
+  at bench scale; documented cutover, not the asymptotic path.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from deepgraph_spark.algorithms.checkpoint import SuperstepCheckpoint
+
+
+def _vertices(edges: DataFrame, src: str, dst: str, vertices: DataFrame | None) -> DataFrame:
+    if vertices is not None:
+        return vertices.select(F.col(vertices.columns[0]).alias("id")).distinct()
+    return (
+        edges.select(F.col(src).alias("id"))
+        .union(edges.select(F.col(dst).alias("id")))
+        .distinct()
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    src: str = "s",
+    dst: str = "t",
+    vertices: DataFrame | None = None,
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 200,
+    directed: bool = True,
+    checkpoint_dir: str | None = None,
+    job_id: str = "pagerank",
+    resume: bool = True,
+    salt: int | None = None,
+    mode: str = "join",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, list[dict]]:
+    """Returns ``(ranks_df(id, rank), metrics_history)``. Convergence: L1
+    delta < tol. ``resume=True`` restarts from the latest complete superstep
+    under ``checkpoint_dir`` (see SuperstepCheckpoint)."""
+    spark = edges.sparkSession
+    if not directed:
+        back = edges.select(F.col(dst).alias(src), F.col(src).alias(dst))
+        edges = edges.select(src, dst).union(back)
+
+    verts = _vertices(edges, src, dst, vertices)
+    n = verts.count()
+    if n == 0:
+        return verts.withColumn("rank", F.lit(0.0)), []
+
+    # static: per-source weight 1/outdeg, persisted across supersteps
+    outdeg = edges.groupBy(F.col(src).alias("id")).agg(F.count(F.lit(1)).alias("outdeg"))
+    verts_deg = verts.join(outdeg, "id", "left").fillna(0, subset=["outdeg"])
+    if num_partitions:
+        verts_deg = verts_deg.repartition(num_partitions, "id")
+    verts_deg = verts_deg.persist()
+    edges_w = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .join(verts_deg.select("id", "outdeg"), F.col("src") == F.col("id"))
+        .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w"))
+    )
+    if num_partitions:
+        edges_w = edges_w.repartition(num_partitions, "src")
+    edges_w = edges_w.persist()
+    edges_w.count()  # materialize once
+
+    ckpt = SuperstepCheckpoint(spark, checkpoint_dir, job_id)
+    start_iter = 0
+    ranks = verts_deg.select("id", F.lit(1.0 / n).alias("rank"), "outdeg")
+    if resume:
+        latest = ckpt.latest()
+        if latest is not None:
+            start_iter, state, _ = latest
+            ranks = state.join(verts_deg.select("id", "outdeg"), "id", "left").fillna(
+                0, subset=["outdeg"]
+            )
+            start_iter += 1
+
+    if mode == "blocks":
+        return _pagerank_blocks(
+            spark, verts_deg, edges_w, ranks, n, damping, tol, max_iter, ckpt, start_iter
+        )
+
+    history: list[dict] = []
+    for k in range(start_iter, max_iter):
+        t0 = time.time()
+        dangling = ranks.where(F.col("outdeg") == 0).agg(F.sum("rank")).collect()[0][0] or 0.0
+
+        contrib = edges_w.join(
+            ranks.select(F.col("id").alias("src"), "rank"), "src"
+        ).select("src", "dst", (F.col("w") * F.col("rank")).alias("c"))
+        if salt and salt > 1:
+            # two-phase aggregation: hot dst keys split across `salt` reducers,
+            # deterministically by source hash
+            partial = contrib.groupBy(
+                "dst", F.pmod(F.abs(F.xxhash64(F.col("src"))), salt).alias("_salt")
+            ).agg(F.sum("c").alias("c"))
+            sums = partial.groupBy("dst").agg(F.sum("c").alias("contrib"))
+        else:
+            sums = contrib.groupBy("dst").agg(F.sum("c").alias("contrib"))
+
+        base = (1.0 - damping) / n + damping * dangling / n
+        new_ranks = (
+            verts_deg.join(sums.withColumnRenamed("dst", "id"), "id", "left")
+            .fillna(0.0, subset=["contrib"])
+            .select(
+                "id",
+                (F.lit(base) + F.lit(damping) * F.col("contrib")).alias("rank"),
+                "outdeg",
+            )
+        )
+
+        delta = (
+            new_ranks.select("id", "rank")
+            .join(ranks.select("id", F.col("rank").alias("prev")), "id")
+            .agg(
+                F.sum(F.abs(F.col("rank") - F.col("prev"))).alias("l1"),
+                F.max(F.abs(F.col("rank") - F.col("prev"))).alias("linf"),
+            )
+            .collect()[0]
+        )
+        metrics = {
+            "l1": float(delta["l1"]),
+            "linf": float(delta["linf"]),
+            "dangling_mass": float(dangling),
+            "n_vertices": n,
+            "superstep_sec": time.time() - t0,
+            "mode": "join",
+            "salt": salt or 0,
+        }
+        state = ckpt.save(k, new_ranks.select("id", "rank"), metrics)
+        ranks = state.join(verts_deg.select("id", "outdeg"), "id")
+        history.append(metrics)
+        if metrics["l1"] < tol:
+            break
+
+    verts_deg.unpersist()
+    edges_w.unpersist()
+    return ranks.select("id", "rank"), history or ckpt.metrics_history()
+
+
+# ---------------------------------------------------------------------------
+
+
+def _pagerank_blocks(spark, verts_deg, edges_w, ranks, n, damping, tol, max_iter, ckpt, start_iter):
+    """Dense-position CSR accelerator: rank vector broadcast per superstep,
+    per-partition numpy SpMV, pre-aggregated partials shuffled once."""
+    # dense positions (driver-held mapping is avoided: positions assigned by
+    # a ranked window once, then carried on the edge table)
+    from pyspark.sql import Window
+
+    pos = verts_deg.select("id", "outdeg").withColumn(
+        "pos", F.row_number().over(Window.orderBy("id")) - 1
+    ).persist()
+    e_pos = (
+        edges_w.join(pos.select(F.col("id").alias("src"), F.col("pos").alias("sp")), "src")
+        .join(pos.select(F.col("id").alias("dst"), F.col("pos").alias("tp")), "dst")
+        .select("sp", "tp", "w")
+        .persist()
+    )
+    e_pos.count()
+    pos_pd = pos.select("id", "pos", "outdeg").toPandas().sort_values("pos")
+    outdeg_arr = pos_pd["outdeg"].values
+    dangling_mask = outdeg_arr == 0
+
+    r = np.full(n, 1.0 / n)
+    if start_iter > 0:
+        prev = ckpt.latest()
+        if prev is not None:
+            rp = prev[1].toPandas().merge(pos_pd[["id", "pos"]], on="id")
+            r = np.zeros(n)
+            r[rp["pos"].values] = rp["rank"].values
+
+    sc = spark.sparkContext
+    history = []
+    for k in range(start_iter, max_iter):
+        t0 = time.time()
+        b = sc.broadcast(r)
+
+        def spmv(it):
+            for pdf in it:
+                rv = b.value
+                contrib = rv[pdf["sp"].values] * pdf["w"].values
+                agg = pd.DataFrame({"tp": pdf["tp"].values, "c": contrib}).groupby("tp", sort=False)["c"].sum()
+                yield pd.DataFrame({"tp": agg.index.values, "c": agg.values})
+
+        partial = e_pos.mapInPandas(spmv, "tp long, c double")
+        sums = partial.groupBy("tp").agg(F.sum("c").alias("c")).toPandas()
+        contrib = np.zeros(n)
+        contrib[sums["tp"].values] = sums["c"].values
+        dangling = float(r[dangling_mask].sum())
+        new_r = (1 - damping) / n + damping * (contrib + dangling / n)
+        l1 = float(np.abs(new_r - r).sum())
+        linf = float(np.abs(new_r - r).max())
+        metrics = {
+            "l1": l1,
+            "linf": linf,
+            "dangling_mass": dangling,
+            "n_vertices": n,
+            "superstep_sec": time.time() - t0,
+            "mode": "blocks",
+        }
+        state_df = spark.createDataFrame(
+            pd.DataFrame({"id": pos_pd["id"].values, "rank": new_r[pos_pd["pos"].values]})
+        )
+        ckpt.save(k, state_df, metrics)
+        history.append(metrics)
+        r = new_r
+        b.destroy()
+        if l1 < tol:
+            break
+
+    out = spark.createDataFrame(pd.DataFrame({"id": pos_pd["id"].values, "rank": r[pos_pd["pos"].values]}))
+    pos.unpersist()
+    e_pos.unpersist()
+    return out, history
+
+
+# ---------------------------------------------------------------------------
+
+
+def pagerank_numpy_oracle(
+    edges: np.ndarray, n: int, damping: float = 0.85, tol: float = 1e-6, max_iter: int = 200
+) -> np.ndarray:
+    """Reference power iteration on dense-id edges (m×2 int array) — the
+    parity oracle required by north_rule (allclose 1e-6)."""
+    src, dst = edges[:, 0], edges[:, 1]
+    outdeg = np.bincount(src, minlength=n).astype(float)
+    r = np.full(n, 1.0 / n)
+    for _ in range(max_iter):
+        dangling = r[outdeg == 0].sum()
+        contrib = np.bincount(dst, weights=r[src] / np.where(outdeg[src] == 0, 1, outdeg[src]), minlength=n)
+        new_r = (1 - damping) / n + damping * (contrib + dangling / n)
+        if np.abs(new_r - r).sum() < tol:
+            return new_r
+        r = new_r
+    return r
