@@ -131,7 +131,9 @@ class DeepGraphFrame:
         """Transfer v features onto e on demand (ref deepgraph.py:1469-1492)
         via two equi-joins; the projected v side is broadcast when narrow."""
         e = self.e
-        sf, tf = _as_list(source_features), _as_list(target_features)
+        # features already transferred onto e at construction are reused as-is
+        sf = [c for c in _as_list(source_features) if f"{c}_s" not in e.columns]
+        tf = [c for c in _as_list(target_features) if f"{c}_t" not in e.columns]
         if sf:
             vs = self.v.select(F.col(self.index_col).alias("s"), *[F.col(c).alias(f"{c}_s") for c in sf])
             e = e.join(vs, "s", "left")

@@ -1,0 +1,93 @@
+"""Pure-numpy graph oracles (scipy/networkx are not available in this env;
+these implement the same semantics the reference delegates to them)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def cc_oracle(edges, n: int) -> np.ndarray:
+    """Undirected connected components; label = min vertex id of component."""
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return np.array([find(i) for i in range(n)])
+
+
+def triangle_oracle(edges, n: int) -> int:
+    nbrs = [set() for _ in range(n)]
+    for a, b in edges:
+        a, b = int(a), int(b)
+        if a != b:
+            nbrs[a].add(b)
+            nbrs[b].add(a)
+    cnt = 0
+    for a in range(n):
+        for b in nbrs[a]:
+            if b > a:
+                cnt += len([c for c in (nbrs[a] & nbrs[b]) if c > b])
+    return cnt
+
+
+def triangles_per_vertex_oracle(edges, n: int) -> np.ndarray:
+    nbrs = [set() for _ in range(n)]
+    for a, b in edges:
+        a, b = int(a), int(b)
+        if a != b:
+            nbrs[a].add(b)
+            nbrs[b].add(a)
+    out = np.zeros(n, dtype=np.int64)
+    for a in range(n):
+        for b in nbrs[a]:
+            if b > a:
+                for c in nbrs[a] & nbrs[b]:
+                    if c > b:
+                        out[a] += 1
+                        out[b] += 1
+                        out[c] += 1
+    return out
+
+
+def lpa_oracle(edges, n: int, iters: int = 10) -> np.ndarray:
+    """Synchronous LPA, mode update, ties -> smaller label."""
+    nbrs = [[] for _ in range(n)]
+    for a, b in edges:
+        a, b = int(a), int(b)
+        if a != b:
+            nbrs[a].append(b)
+            nbrs[b].append(a)
+    nbrs = [sorted(set(x)) for x in nbrs]
+    lab = np.arange(n)
+    for _ in range(iters):
+        new = lab.copy()
+        for v in range(n):
+            if not nbrs[v]:
+                continue
+            cnt: dict = {}
+            for u in nbrs[v]:
+                cnt[lab[u]] = cnt.get(lab[u], 0) + 1
+            new[v] = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if (new == lab).all():
+            break
+        lab = new
+    return lab
+
+
+def random_digraph(n: int, m: int, seed: int = 0) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    e = np.unique(rng.integers(0, n, size=(m, 2)), axis=0)
+    return e[e[:, 0] != e[:, 1]]
+
+
+def star_graph(n: int) -> np.ndarray:
+    """Hub vertex 0 — the skew fixture (FIXTURES.md F4)."""
+    return np.column_stack([np.zeros(n - 1, dtype=np.int64), np.arange(1, n, dtype=np.int64)])

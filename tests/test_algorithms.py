@@ -1,0 +1,162 @@
+"""Graph-kernel parity tests vs pure-numpy oracles (FIXTURES.md F4) and the
+checkpoint/resume protocol."""
+
+import glob
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from deepgraph_spark.algorithms import (
+    connected_components,
+    label_propagation,
+    pagerank,
+    triangle_count,
+    triangles_per_vertex,
+)
+from deepgraph_spark.algorithms.pagerank import pagerank_numpy_oracle
+from oracles import (
+    cc_oracle,
+    lpa_oracle,
+    random_digraph,
+    star_graph,
+    triangle_oracle,
+    triangles_per_vertex_oracle,
+)
+
+
+def _dfs(spark, edges, n):
+    e = spark.createDataFrame(pd.DataFrame({"s": edges[:, 0], "t": edges[:, 1]}))
+    v = spark.createDataFrame(pd.DataFrame({"id": np.arange(n)}))
+    return e, v
+
+
+GRAPHS = [
+    ("sparse10", 10, 12, 1),
+    ("mid100", 100, 150, 2),
+    ("dense100", 100, 800, 3),
+]
+
+
+@pytest.mark.parametrize("name,n,m,seed", GRAPHS)
+def test_pagerank_parity(spark, name, n, m, seed):
+    edges = random_digraph(n, m, seed)
+    e, v = _dfs(spark, edges, n)
+    oracle = pagerank_numpy_oracle(edges, n)
+    for mode in ["join", "blocks"]:
+        ranks, hist = pagerank(e, vertices=v, tol=1e-6, mode=mode)
+        got = ranks.toPandas().sort_values("id")["rank"].values
+        assert np.allclose(got, oracle, atol=1e-6), (name, mode)
+
+
+def test_pagerank_star_skew(spark):
+    """Hub fixture: salted two-phase aggregation must not change results."""
+    edges = star_graph(200)
+    both = np.vstack([edges, edges[:, ::-1]])
+    e, v = _dfs(spark, both, 200)
+    oracle = pagerank_numpy_oracle(both, 200)
+    for salt in [None, 8]:
+        ranks, _ = pagerank(e, vertices=v, tol=1e-6, salt=salt)
+        got = ranks.toPandas().sort_values("id")["rank"].values
+        assert np.allclose(got, oracle, atol=1e-6)
+
+
+def test_pagerank_resume(spark, tmp_path):
+    """Kill after superstep k, resume → identical final ranks (north_rule)."""
+    edges = random_digraph(60, 150, 5)
+    e, v = _dfs(spark, edges, 60)
+    ckdir = str(tmp_path / "ck")
+
+    # uninterrupted run
+    full, hist = pagerank(e, vertices=v, tol=1e-6, checkpoint_dir=ckdir, job_id="a")
+    full_pd = full.toPandas().sort_values("id")["rank"].values
+
+    # interrupted: run only 3 supersteps, then resume to convergence
+    partial, _ = pagerank(
+        e, vertices=v, tol=1e-6, max_iter=3, checkpoint_dir=ckdir, job_id="b"
+    )
+    assert len(glob.glob(os.path.join(ckdir, "b", "iter_*.json"))) == 3
+    resumed, hist2 = pagerank(
+        e, vertices=v, tol=1e-6, checkpoint_dir=ckdir, job_id="b", resume=True
+    )
+    res_pd = resumed.toPandas().sort_values("id")["rank"].values
+    assert np.allclose(res_pd, full_pd, atol=1e-12)
+    # metrics carry per-partition lineage
+    import json
+
+    with open(sorted(glob.glob(os.path.join(ckdir, "b", "iter_*.json")))[0]) as f:
+        m = json.load(f)
+    assert "partition_lineage" in m and "l1" in m
+
+
+@pytest.mark.parametrize("name,n,m,seed", GRAPHS)
+def test_cc_parity(spark, name, n, m, seed):
+    edges = random_digraph(n, m, seed)
+    e, v = _dfs(spark, edges, n)
+    expected = cc_oracle(edges, n)
+    got = (
+        connected_components(e, vertices=v, label_by_size=False)
+        .toPandas()
+        .sort_values("id")["cp"]
+        .values
+    )
+    assert (got == expected).all(), name
+
+
+def test_cc_label_by_size_and_consolidate(spark):
+    # components: {0,1,2} {3,4} {5} {6}
+    e = spark.createDataFrame(pd.DataFrame({"s": [0, 1, 3], "t": [1, 2, 4]}))
+    v = spark.createDataFrame(pd.DataFrame({"id": range(7)}))
+    by_size = connected_components(e, vertices=v).toPandas().sort_values("id")["cp"].tolist()
+    assert by_size == [0, 0, 0, 1, 1, 2, 3]
+    cons = (
+        connected_components(e, vertices=v, consolidate_singles=True)
+        .toPandas()
+        .sort_values("id")["cp"]
+        .tolist()
+    )
+    assert cons == [1, 1, 1, 2, 2, 0, 0]
+
+
+def test_cc_parallelism_invariance(spark):
+    edges = random_digraph(80, 100, 9)
+    expected = cc_oracle(edges, 80)
+    for parts in [1, 7]:
+        e = spark.createDataFrame(
+            pd.DataFrame({"s": edges[:, 0], "t": edges[:, 1]})
+        ).repartition(parts)
+        v = spark.createDataFrame(pd.DataFrame({"id": np.arange(80)}))
+        got = (
+            connected_components(e, vertices=v, label_by_size=False)
+            .toPandas()
+            .sort_values("id")["cp"]
+            .values
+        )
+        assert (got == expected).all()
+
+
+@pytest.mark.parametrize("name,n,m,seed", GRAPHS[:2])
+def test_lpa_parity(spark, name, n, m, seed):
+    edges = random_digraph(n, m, seed)
+    e, v = _dfs(spark, edges, n)
+    expected = lpa_oracle(edges, n, iters=5)
+    got = (
+        label_propagation(e, vertices=v, max_iter=5)
+        .toPandas()
+        .sort_values("id")["label"]
+        .values
+    )
+    assert (got == expected).all(), name
+
+
+@pytest.mark.parametrize("name,n,m,seed", GRAPHS)
+def test_triangles_parity(spark, name, n, m, seed):
+    edges = random_digraph(n, m, seed)
+    e, _ = _dfs(spark, edges, n)
+    assert triangle_count(e) == triangle_oracle(edges, n)
+    per_v = triangles_per_vertex(e).toPandas().set_index("id")["triangles"]
+    expected = triangles_per_vertex_oracle(edges, n)
+    got = np.zeros(n, dtype=np.int64)
+    got[per_v.index.values] = per_v.values
+    assert (got == expected).all()
