@@ -1,0 +1,33 @@
+"""Large-scale training-data pipeline operators (dedup, similarity search,
+text analysis, multimodal plumbing) — first-class components alongside the
+link-graph engine, all expressed as declarative DataFrame plans or
+Arrow-vectorized pandas stages."""
+
+from deepgraph_spark.pipeline.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_lsh_dedup,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+)
+from deepgraph_spark.pipeline.similarity import ann_topk_bruteforce, ann_topk_lsh
+from deepgraph_spark.pipeline.textstats import (
+    doc_fingerprints,
+    lang_id,
+    text_quality,
+    token_stats,
+)
+
+__all__ = [
+    "exact_dedup",
+    "minhash_lsh_dedup",
+    "simhash_fingerprints",
+    "ngram_jaccard_pairs",
+    "embedding_neardup_pairs",
+    "ann_topk_bruteforce",
+    "ann_topk_lsh",
+    "token_stats",
+    "text_quality",
+    "lang_id",
+    "doc_fingerprints",
+]
