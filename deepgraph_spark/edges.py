@@ -353,13 +353,14 @@ def create_edges_ft(
     out_keys = group_keys if keep_keys else []
     schema = _infer_edge_schema(plan, v_proj, index_col, out_keys)
 
-    # numeric band value (timestamps → epoch seconds, fractional)
-    is_ts = isinstance(v_proj.schema[ftf].dataType, T.TimestampType)
+    # numeric band value (timestamps → epoch seconds = micros/1e6, matching
+    # the exact integer-microsecond arithmetic a SQL oracle uses)
+    is_ts = isinstance(v_proj.schema[ftf].dataType, (T.TimestampType, T.TimestampNTZType))
     if is_ts:
         if dt_unit is None:
             raise ValueError("datetime ft_feature requires a dt_unit: (col, ftt, unit)")
         ftt_num = float(ftt) * _UNIT_SECONDS[dt_unit]
-        val = F.col(ftf).cast("double")
+        val = F.unix_micros(F.col(ftf).cast("timestamp")) / F.lit(1e6)
     else:
         ftt_num = float(ftt)
         val = F.col(ftf).cast("double")

@@ -1,0 +1,455 @@
+"""Driver-contract queries: one entry per implemented operator family
+(SURVEY.md §2), each with a DuckDB oracle where SQL-expressible.
+
+Column names AND dtypes are aligned pairwise between the Spark plan and the
+oracle SQL (longs for counts/keys, doubles rounded identically where float
+aggregation order could differ)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from deepgraph_spark.core import DeepGraphFrame
+from deepgraph_spark.edges import create_edges, create_edges_ft
+
+TAU_S = 14400  # 4h band for the events link graph
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# connectors for the events link graph
+# ---------------------------------------------------------------------------
+
+def dv(value_s, value_t):
+    dv = value_t - value_s
+    return dv
+
+
+def kd(n_nationkey_s, n_nationkey_t):
+    kd = n_nationkey_t - n_nationkey_s
+    return kd
+
+
+def event_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical events band graph: per-user pairs within TAU_S seconds."""
+    events = _t(spark, sf_dir, "events")
+    return create_edges_ft(
+        events,
+        ("ts", TAU_S, "s"),
+        [dv],
+        index_col="event_id",
+        group_by="user_id",
+        transfer_features=["event_type"],
+    )
+
+
+EVENT_EDGES_SQL = f"""
+    SELECT a.event_id AS s, b.event_id AS t,
+           (epoch_us(b.ts) - epoch_us(a.ts)) / 1000000.0 AS ft_r,
+           b.value - a.value AS dv,
+           a.event_type AS event_type_s, b.event_type AS event_type_t
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))
+     AND epoch_us(b.ts) - epoch_us(a.ts) <= {TAU_S}::BIGINT * 1000000
+"""
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_edges_ft_events(spark, sf_dir):
+    return event_edges(spark, sf_dir).select(
+        "s", "t", "ft_r", "dv", "event_type_s", "event_type_t"
+    )
+
+
+def q_edges_allpairs_nation(spark, sf_dir):
+    nation = _t(spark, sf_dir, "nation")
+    e = create_edges(
+        nation,
+        [kd],
+        index_col="n_nationkey",
+        group_by="n_regionkey",
+        transfer_features=["n_name"],
+    )
+    return e.select(
+        F.col("s").cast("long").alias("s"),
+        F.col("t").cast("long").alias("t"),
+        F.col("kd").cast("long").alias("kd"),
+        "n_name_s",
+        "n_name_t",
+    )
+
+
+def q_partition_nodes_orders(spark, sf_dir):
+    g = DeepGraphFrame(_t(spark, sf_dir, "orders"), index_col="o_orderkey")
+    sv = g.partition_nodes("o_orderstatus", {"o_totalprice": ["sum", "mean"]})
+    return sv.select(
+        "o_orderstatus",
+        "n_nodes",
+        F.round("o_totalprice_sum", 2).alias("totalprice_sum"),
+        F.round("o_totalprice_mean", 2).alias("totalprice_mean"),
+    )
+
+
+def q_supergraph_events(spark, sf_dir):
+    """partition_edges of the band graph by source/target event_type."""
+    e = event_edges(spark, sf_dir)
+    return (
+        e.groupBy("event_type_s", "event_type_t")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+
+
+def q_filter_interval_lineitem(spark, sf_dir):
+    g = DeepGraphFrame(_t(spark, sf_dir, "lineitem"), index_col="l_orderkey")
+    g.filter_by_interval_v("l_quantity", (5.0, 30.0))
+    g.filter_by_interval_v("l_discount", (0.02, 0.08))
+    out = g.v.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+    )
+    return out
+
+
+def q_binning_part(spark, sf_dir):
+    g = DeepGraphFrame(_t(spark, sf_dir, "part"), index_col="p_partkey")
+    g.append_binning_labels_v("p_retailprice", "bin", bins=10)
+    return (
+        g.v.groupBy(F.col("bin").cast("long").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_datetime_categories_events(spark, sf_dir):
+    g = DeepGraphFrame(_t(spark, sf_dir, "events"), index_col="event_id")
+    g.append_datetime_categories_v("ts")
+    return g.v.groupBy(
+        F.col("tod").cast("long").alias("tod"),
+        F.col("season").cast("long").alias("season"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_supernode_labels_nation(spark, sf_dir):
+    g = DeepGraphFrame(_t(spark, sf_dir, "nation"), index_col="n_nationkey")
+    g.supernode_labels_by("region_label", "n_regionkey")
+    return g.v.select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"),
+        F.col("region_label").cast("long").alias("region_label"),
+    )
+
+
+def q_triangles_events(spark, sf_dir):
+    from deepgraph_spark.algorithms.triangles import triangles_df
+
+    tri = triangles_df(event_edges(spark, sf_dir))
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def q_cc_events(spark, sf_dir):
+    from deepgraph_spark.algorithms import connected_components
+
+    e = event_edges(spark, sf_dir)
+    verts = _t(spark, sf_dir, "events").select(F.col("event_id").alias("id"))
+    return connected_components(e, vertices=verts, label_by_size=False).select(
+        F.col("id").cast("long").alias("id"), F.col("cp").cast("long").alias("cp")
+    )
+
+
+def q_pagerank_events(spark, sf_dir):
+    from deepgraph_spark.algorithms import pagerank
+
+    e = event_edges(spark, sf_dir)
+    verts = _t(spark, sf_dir, "events").select(F.col("event_id").alias("id"))
+    ranks, _ = pagerank(e, vertices=verts, tol=1e-6, mode="blocks")
+    return ranks.select("id", F.round("rank", 9).alias("rank"))
+
+
+def q_lpa_events(spark, sf_dir):
+    from deepgraph_spark.algorithms import label_propagation
+
+    e = event_edges(spark, sf_dir)
+    verts = _t(spark, sf_dir, "events").select(F.col("event_id").alias("id"))
+    return label_propagation(e, vertices=verts, max_iter=5)
+
+
+# -- pipeline operators ------------------------------------------------------
+
+def q_exact_dedup_documents(spark, sf_dir):
+    from deepgraph_spark.pipeline import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_ngram_jaccard_documents(spark, sf_dir):
+    from deepgraph_spark.pipeline import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), group_cols=["source"], threshold=0.0
+    )
+    return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_embedding_neardup(spark, sf_dir):
+    from deepgraph_spark.pipeline import embedding_neardup_pairs
+
+    pairs = embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), group_cols=["label"], threshold=-2.0
+    )
+    return pairs.select("a", "b", F.round("cosine", 6).alias("cosine")).where(
+        F.col("cosine") >= 0.3
+    )
+
+
+def q_ann_topk_embeddings(spark, sf_dir):
+    from deepgraph_spark.pipeline import ann_topk_bruteforce
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    out = ann_topk_bruteforce(emb, queries, k=5)
+    return out.select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def q_token_stats_documents(spark, sf_dir):
+    from deepgraph_spark.pipeline import token_stats
+
+    ts = token_stats(_t(spark, sf_dir, "documents"))
+    return ts.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.round("avg_token_len", 6).alias("avg_token_len"),
+    )
+
+
+def q_text_quality_documents(spark, sf_dir):
+    from deepgraph_spark.pipeline import text_quality
+
+    q = text_quality(_t(spark, sf_dir, "documents"))
+    return q.select(
+        "doc_id",
+        F.round("alpha_ratio", 6).alias("alpha_ratio"),
+        F.round("digit_ratio", 6).alias("digit_ratio"),
+        F.round("space_ratio", 6).alias("space_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+    )
+
+
+def q_lang_id_documents(spark, sf_dir):
+    from deepgraph_spark.pipeline import lang_id
+
+    return lang_id(_t(spark, sf_dir, "documents"))
+
+
+def q_minhash_dedup_documents(spark, sf_dir):
+    from deepgraph_spark.pipeline import minhash_lsh_dedup
+
+    pairs = minhash_lsh_dedup(_t(spark, sf_dir, "documents"), threshold=0.5)
+    return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_simhash_documents(spark, sf_dir):
+    from deepgraph_spark.pipeline import simhash_fingerprints
+
+    return simhash_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+def q_doc_fingerprints(spark, sf_dir):
+    from deepgraph_spark.pipeline.textstats import doc_fingerprints
+
+    fp = doc_fingerprints(_t(spark, sf_dir, "documents"))
+    return fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fingerprints"))
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect; views pre-registered by the driver)
+# ---------------------------------------------------------------------------
+
+ORACLES: dict[str, str] = {
+    "edges_ft_events": EVENT_EDGES_SQL,
+    "edges_allpairs_nation": """
+        SELECT CAST(a.n_nationkey AS BIGINT) AS s, CAST(b.n_nationkey AS BIGINT) AS t,
+               CAST(b.n_nationkey - a.n_nationkey AS BIGINT) AS kd,
+               a.n_name AS n_name_s, b.n_name AS n_name_t
+        FROM nation a JOIN nation b
+          ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+    """,
+    "partition_nodes_orders": """
+        SELECT o_orderstatus, COUNT(*) AS n_nodes,
+               ROUND(SUM(o_totalprice), 2) AS totalprice_sum,
+               ROUND(AVG(o_totalprice), 2) AS totalprice_mean
+        FROM orders GROUP BY o_orderstatus
+    """,
+    "supergraph_events": f"""
+        WITH e AS ({EVENT_EDGES_SQL})
+        SELECT event_type_s, event_type_t, COUNT(*) AS n_edges
+        FROM e GROUP BY event_type_s, event_type_t
+    """,
+    "filter_interval_lineitem": """
+        SELECT COUNT(*) AS n_rows,
+               ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+        FROM lineitem
+        WHERE l_quantity BETWEEN 5.0 AND 30.0 AND l_discount BETWEEN 0.02 AND 0.08
+    """,
+    "binning_part": """
+        WITH mm AS (SELECT MIN(p_retailprice) lo, MAX(p_retailprice) hi FROM part)
+        SELECT CAST(CASE WHEN p_retailprice >= hi THEN 8
+                    ELSE FLOOR((p_retailprice - lo) / ((hi - lo) / 9)) END AS BIGINT) AS bin,
+               COUNT(*) AS n
+        FROM part, mm GROUP BY 1
+    """,
+    "datetime_categories_events": """
+        SELECT CAST(FLOOR(date_part('hour', ts) / 6) AS BIGINT) AS tod,
+               CAST(FLOOR((date_part('month', ts) % 12) / 3) AS BIGINT) AS season,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    """,
+    "supernode_labels_nation": """
+        SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+               CAST(DENSE_RANK() OVER (ORDER BY n_regionkey) - 1 AS BIGINT) AS region_label
+        FROM nation
+    """,
+    "triangles_events": f"""
+        WITH e AS (SELECT s, t FROM ({EVENT_EDGES_SQL}))
+        SELECT COUNT(*) AS n_triangles
+        FROM e e1 JOIN e e2 ON e1.t = e2.s JOIN e e3 ON e3.s = e1.s AND e3.t = e2.t
+    """,
+    "cc_events": f"""
+        WITH RECURSIVE
+        e AS (SELECT s, t FROM ({EVENT_EDGES_SQL})),
+        sym AS (SELECT s AS a, t AS b FROM e UNION SELECT t, s FROM e),
+        reach(a, b) AS (
+            SELECT a, b FROM sym
+            UNION
+            SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+        )
+        SELECT ev.event_id AS id,
+               LEAST(ev.event_id, COALESCE(MIN(r.b), ev.event_id)) AS cp
+        FROM events ev LEFT JOIN reach r ON r.a = ev.event_id
+        GROUP BY ev.event_id
+    """,
+    "exact_dedup_documents": """
+        SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        FROM documents GROUP BY text
+    """,
+    "ngram_jaccard_documents": """
+        WITH d AS (
+            SELECT doc_id, source,
+                   list_distinct(string_split_regex(trim(text), '\\s+')) AS toks
+            FROM documents
+        )
+        SELECT x.doc_id AS a, y.doc_id AS b,
+               ROUND(CAST(len(list_intersect(x.toks, y.toks)) AS DOUBLE)
+                     / (len(x.toks) + len(y.toks) - len(list_intersect(x.toks, y.toks))), 6) AS jaccard
+        FROM d x JOIN d y ON x.source = y.source AND x.doc_id < y.doc_id
+    """,
+    "embedding_neardup": """
+        WITH v AS (
+            SELECT vec_id, label, embedding::DOUBLE[] AS ve,
+                   list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS ss
+            FROM embeddings
+        )
+        SELECT x.vec_id AS a, y.vec_id AS b,
+               ROUND(list_dot_product(x.ve, y.ve) / (SQRT(x.ss) * SQRT(y.ss)), 6) AS cosine
+        FROM v x JOIN v y ON x.label = y.label AND x.vec_id < y.vec_id
+        WHERE ROUND(list_dot_product(x.ve, y.ve) / (SQRT(x.ss) * SQRT(y.ss)), 6) >= 0.3
+    """,
+    "ann_topk_embeddings": """
+        WITH v AS (
+            SELECT vec_id, embedding::DOUBLE[] AS ve,
+                   list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS ss
+            FROM embeddings
+        ),
+        scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROUND(list_dot_product(q.ve, c.ve) / (SQRT(q.ss) * SQRT(c.ss)), 6) AS cosine
+            FROM v q JOIN v c ON q.vec_id < 20 AND c.vec_id != q.vec_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+    """,
+    "token_stats_documents": """
+        WITH d AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks, length(text) AS n_chars
+            FROM documents
+        )
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(n_chars AS BIGINT) AS n_chars,
+               ROUND(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks), 6)
+                   AS avg_token_len
+        FROM d
+    """,
+    "text_quality_documents": """
+        WITH d AS (
+            SELECT doc_id, text, CAST(length(text) AS DOUBLE) AS n,
+                   string_split_regex(trim(text), '\\s+') AS toks
+            FROM documents
+        )
+        SELECT doc_id,
+               ROUND(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / n, 6) AS alpha_ratio,
+               ROUND(length(regexp_replace(text, '[^0-9]', '', 'g')) / n, 6) AS digit_ratio,
+               ROUND(length(regexp_replace(text, '[^ ]', '', 'g')) / n, 6) AS space_ratio,
+               ROUND(CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in'))) AS DOUBLE)
+                     / len(toks), 6) AS stopword_ratio
+        FROM d
+    """,
+    "lang_id_documents": """
+        WITH d AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+        ), s AS (
+            SELECT doc_id,
+                   len(list_filter(toks, t -> t IN ('der','und','die'))) AS s_de,
+                   len(list_filter(toks, t -> t IN ('the','and','of'))) AS s_en,
+                   len(list_filter(toks, t -> t IN ('el','de','la'))) AS s_es,
+                   len(list_filter(toks, t -> t IN ('le','et','les'))) AS s_fr
+            FROM d
+        )
+        SELECT doc_id,
+               CASE WHEN GREATEST(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                    WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                    WHEN s_es >= s_fr THEN 'es'
+                    ELSE 'fr' END AS lang_guess
+        FROM s
+    """,
+}
+
+QUERIES = {
+    "edges_ft_events": q_edges_ft_events,
+    "edges_allpairs_nation": q_edges_allpairs_nation,
+    "partition_nodes_orders": q_partition_nodes_orders,
+    "supergraph_events": q_supergraph_events,
+    "filter_interval_lineitem": q_filter_interval_lineitem,
+    "binning_part": q_binning_part,
+    "datetime_categories_events": q_datetime_categories_events,
+    "supernode_labels_nation": q_supernode_labels_nation,
+    "triangles_events": q_triangles_events,
+    "cc_events": q_cc_events,
+    "pagerank_events": q_pagerank_events,  # rows-only (iterative)
+    "lpa_events": q_lpa_events,  # rows-only (iterative)
+    "exact_dedup_documents": q_exact_dedup_documents,
+    "ngram_jaccard_documents": q_ngram_jaccard_documents,
+    "embedding_neardup": q_embedding_neardup,
+    "ann_topk_embeddings": q_ann_topk_embeddings,
+    "token_stats_documents": q_token_stats_documents,
+    "text_quality_documents": q_text_quality_documents,
+    "lang_id_documents": q_lang_id_documents,
+    "minhash_dedup_documents": q_minhash_dedup_documents,  # rows-only (LSH)
+    "simhash_documents": q_simhash_documents,  # rows-only (custom hash)
+    "doc_fingerprints": q_doc_fingerprints,  # rows-only (custom hash)
+}

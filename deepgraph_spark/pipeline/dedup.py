@@ -191,20 +191,23 @@ def embedding_neardup_pairs(
     stays in whole-stage codegen."""
     group_cols = group_cols or []
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
-    base = emb.select(
-        *group_cols, F.col(id_col), (F.transform(v, lambda x: x / norm)).alias("nv")
+    sumsq = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    base = emb.select(*group_cols, F.col(id_col), v.alias("rv"), sumsq.alias("ss"))
+    left = base.select(
+        *group_cols, F.col(id_col).alias("a"), F.col("rv").alias("va"), F.col("ss").alias("sa")
     )
-    left = base.select(*group_cols, F.col(id_col).alias("a"), F.col("nv").alias("va"))
     right = base.select(
         *[F.col(c).alias(f"{c}__r") for c in group_cols],
         F.col(id_col).alias("b"),
-        F.col("nv").alias("vb"),
+        F.col("rv").alias("vb"),
+        F.col("ss").alias("sb"),
     )
     cond = F.col("a") < F.col("b")
     for c in group_cols:
         cond = cond & (F.col(c) == F.col(f"{c}__r"))
-    cos = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    # cos = dot / (sqrt(sa)*sqrt(sb)) — same associativity as the SQL oracle
+    cos = dot / (F.sqrt("sa") * F.sqrt("sb"))
     return (
         left.join(right, cond)
         .select("a", "b", cos.alias("cosine"))
