@@ -179,10 +179,16 @@ def _pagerank_blocks(spark, verts_deg, edges_w, ranks, n, damping, tol, max_iter
     pos = verts_deg.select("id", "outdeg").withColumn(
         "pos", F.row_number().over(Window.orderBy("id")) - 1
     ).persist()
+    # partition by destination: every dst lives in exactly one partition, so
+    # per-partition combine already yields globally-unique partial keys
+    # (<= n rows collected per superstep) and sizing follows edge volume.
+    m_est = edges_w.count()
+    n_parts = max(4, min(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), m_est // 100_000 + 1))
     e_pos = (
         edges_w.join(pos.select(F.col("id").alias("src"), F.col("pos").alias("sp")), "src")
         .join(pos.select(F.col("id").alias("dst"), F.col("pos").alias("tp")), "dst")
         .select("sp", "tp", "w")
+        .repartition(n_parts, "tp")
         .persist()
     )
     e_pos.count()
@@ -205,16 +211,30 @@ def _pagerank_blocks(spark, verts_deg, edges_w, ranks, n, damping, tol, max_iter
         b = sc.broadcast(r)
 
         def spmv(it):
+            # per-partition CSR-style combine: one bincount per Arrow batch,
+            # partials merged locally → shuffle-free map-side aggregation
+            rv = b.value
+            acc: dict[int, float] = {}
+            tps = None
+            vals = None
             for pdf in it:
-                rv = b.value
                 contrib = rv[pdf["sp"].values] * pdf["w"].values
-                agg = pd.DataFrame({"tp": pdf["tp"].values, "c": contrib}).groupby("tp", sort=False)["c"].sum()
-                yield pd.DataFrame({"tp": agg.index.values, "c": agg.values})
+                agg = pd.DataFrame({"tp": pdf["tp"].values, "c": contrib}).groupby(
+                    "tp", sort=False
+                )["c"].sum()
+                if tps is None:
+                    tps, vals = agg.index.values, agg.values
+                else:
+                    merged = pd.Series(vals, index=tps).add(agg, fill_value=0.0)
+                    tps, vals = merged.index.values, merged.values
+            if tps is not None:
+                yield pd.DataFrame({"tp": tps, "c": vals})
 
-        partial = e_pos.mapInPandas(spmv, "tp long, c double")
-        sums = partial.groupBy("tp").agg(F.sum("c").alias("c")).toPandas()
+        # driver-side final combine (partials <= one row per distinct dst per
+        # partition) — no shuffle per superstep
+        sums = e_pos.mapInPandas(spmv, "tp long, c double").toPandas()
         contrib = np.zeros(n)
-        contrib[sums["tp"].values] = sums["c"].values
+        np.add.at(contrib, sums["tp"].values, sums["c"].values)
         dangling = float(r[dangling_mask].sum())
         new_r = (1 - damping) / n + damping * (contrib + dangling / n)
         l1 = float(np.abs(new_r - r).sum())
@@ -227,10 +247,11 @@ def _pagerank_blocks(spark, verts_deg, edges_w, ranks, n, damping, tol, max_iter
             "superstep_sec": time.time() - t0,
             "mode": "blocks",
         }
-        state_df = spark.createDataFrame(
-            pd.DataFrame({"id": pos_pd["id"].values, "rank": new_r[pos_pd["pos"].values]})
-        )
-        ckpt.save(k, state_df, metrics)
+        if ckpt.enabled:
+            state_df = spark.createDataFrame(
+                pd.DataFrame({"id": pos_pd["id"].values, "rank": new_r[pos_pd["pos"].values]})
+            )
+            ckpt.save(k, state_df, metrics)
         history.append(metrics)
         r = new_r
         b.destroy()
