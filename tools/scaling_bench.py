@@ -1,0 +1,90 @@
+"""Two-cluster-size scaling evidence (BASELINE.json north_rule).
+
+Runs the identical job — synthetic transcript link graph construction +
+PageRank to 1e-6 convergence — at two parallelism levels (default local[8]
+and local[32], i.e. N and 4N cores) on the SAME input, and reports
+throughput at both plus per-core scaling efficiency::
+
+    efficiency = (throughput@4N / throughput@N) / 4
+
+Writes BENCH_SCALING.json and prints one JSON line.
+
+Usage: python tools/scaling_bench.py [n_turns] [tau_seconds] [mode]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+N_TURNS = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
+TAU = float(sys.argv[2]) if len(sys.argv) > 2 else 240.0
+MODE = sys.argv[3] if len(sys.argv) > 3 else "join"
+LEVELS = [8, 32]
+
+
+def run_at(cpus: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from deepgraph_spark.algorithms import pagerank
+    from deepgraph_spark.datagen import generate_transcripts
+    from deepgraph_spark.session import get_spark
+    from deepgraph_spark.transcripts import build_turn_graph
+
+    spark = get_spark(
+        app_name=f"scaling_{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus * 2
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    tr = generate_transcripts(spark, n_turns=N_TURNS, seed=42, partitions=cpus * 2).persist()
+    tr.count()
+
+    t0 = time.time()
+    g = build_turn_graph(tr, tau_seconds=TAU)
+    edges = g.e.select("s", "t").persist()
+    m = edges.count()
+    build_sec = time.time() - t0
+
+    t0 = time.time()
+    _, hist = pagerank(edges, vertices=g.v.select("id"), tol=1e-6, mode=MODE, max_iter=100)
+    pr_sec = time.time() - t0
+    iters = len(hist)
+
+    spark.stop()
+    edges_processed = m * iters
+    return {
+        "cores": cpus,
+        "m_edges": m,
+        "iterations": iters,
+        "build_sec": round(build_sec, 2),
+        "pagerank_sec": round(pr_sec, 2),
+        "pagerank_edges_per_sec": round(edges_processed / pr_sec, 1),
+        "pagerank_edges_per_sec_per_core": round(edges_processed / pr_sec / cpus, 1),
+        "pipeline_sec": round(build_sec + pr_sec, 2),
+    }
+
+
+def main():
+    results = [run_at(c) for c in LEVELS]
+    lo, hi = results[0], results[-1]
+    ratio = hi["cores"] / lo["cores"]
+    pr_eff = (hi["pagerank_edges_per_sec"] / lo["pagerank_edges_per_sec"]) / ratio
+    pipe_eff = (lo["pipeline_sec"] / hi["pipeline_sec"]) / ratio
+    out = {
+        "job": f"transcripts({N_TURNS} turns, tau={TAU}s) -> edges -> pagerank@1e-6 ({MODE})",
+        "levels": results,
+        "pagerank_scaling_efficiency": round(pr_eff, 3),
+        "pipeline_scaling_efficiency": round(pipe_eff, 3),
+    }
+    with open(os.path.join(ROOT, "BENCH_SCALING.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
