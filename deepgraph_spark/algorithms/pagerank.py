@@ -98,8 +98,10 @@ def pagerank(
         latest = ckpt.latest()
         if latest is not None:
             start_iter, state, _ = latest
-            ranks = state.join(verts_deg.select("id", "outdeg"), "id", "left").fillna(
-                0, subset=["outdeg"]
+            ranks = (
+                state.select("id", "rank")
+                .join(verts_deg.select("id", "outdeg"), "id", "left")
+                .fillna(0, subset=["outdeg"])
             )
             start_iter += 1
 
@@ -108,11 +110,15 @@ def pagerank(
             spark, verts_deg, edges_w, ranks, n, damping, tol, max_iter, ckpt, start_iter
         )
 
+    # dangling mass of the CURRENT state is folded into the single metrics
+    # aggregation of the PREVIOUS superstep, so each superstep runs exactly
+    # one Spark action (the combined materialize + metrics pass); only the
+    # first (or resumed) iteration pays a separate pass.
+    dangling = ranks.where(F.col("outdeg") == 0).agg(F.sum("rank")).collect()[0][0] or 0.0
+
     history: list[dict] = []
     for k in range(start_iter, max_iter):
         t0 = time.time()
-        dangling = ranks.where(F.col("outdeg") == 0).agg(F.sum("rank")).collect()[0][0] or 0.0
-
         contrib = edges_w.join(
             ranks.select(F.col("id").alias("src"), "rank"), "src"
         ).select("src", "dst", (F.col("w") * F.col("rank")).alias("c"))
@@ -127,37 +133,52 @@ def pagerank(
             sums = contrib.groupBy("dst").agg(F.sum("c").alias("contrib"))
 
         base = (1.0 - damping) / n + damping * dangling / n
-        new_ranks = (
-            verts_deg.join(sums.withColumnRenamed("dst", "id"), "id", "left")
+        new_state = (
+            ranks.join(sums.withColumnRenamed("dst", "id"), "id", "left")
             .fillna(0.0, subset=["contrib"])
             .select(
                 "id",
                 (F.lit(base) + F.lit(damping) * F.col("contrib")).alias("rank"),
+                F.col("rank").alias("prev"),
                 "outdeg",
             )
         )
+        if ckpt.enabled:
+            # durable path: parquet write + metrics on the re-read state
+            pre = {"n_vertices": n, "mode": "join", "salt": salt or 0}
+            state = ckpt.save(k, new_state, pre)
+        else:
+            state = new_state.localCheckpoint(eager=False)
 
-        delta = (
-            new_ranks.select("id", "rank")
-            .join(ranks.select("id", F.col("rank").alias("prev")), "id")
-            .agg(
-                F.sum(F.abs(F.col("rank") - F.col("prev"))).alias("l1"),
-                F.max(F.abs(F.col("rank") - F.col("prev"))).alias("linf"),
-            )
-            .collect()[0]
-        )
+        row = state.agg(
+            F.sum(F.abs(F.col("rank") - F.col("prev"))).alias("l1"),
+            F.max(F.abs(F.col("rank") - F.col("prev"))).alias("linf"),
+            F.sum(F.when(F.col("outdeg") == 0, F.col("rank")).otherwise(0.0)).alias("dng"),
+        ).collect()[0]
         metrics = {
-            "l1": float(delta["l1"]),
-            "linf": float(delta["linf"]),
+            "l1": float(row["l1"]),
+            "linf": float(row["linf"]),
             "dangling_mass": float(dangling),
             "n_vertices": n,
             "superstep_sec": time.time() - t0,
             "mode": "join",
             "salt": salt or 0,
         }
-        state = ckpt.save(k, new_ranks.select("id", "rank"), metrics)
-        ranks = state.join(verts_deg.select("id", "outdeg"), "id")
+        dangling = float(row["dng"]) or 0.0
+        ranks = state.drop("prev")
         history.append(metrics)
+        if ckpt.enabled:
+            # refresh the metrics marker with convergence measures
+            import json as _json
+            import os as _os
+
+            with open(ckpt._metrics_path(k)) as f:
+                full = _json.load(f)
+            full.update(metrics)
+            tmp = ckpt._metrics_path(k) + ".tmp"
+            with open(tmp, "w") as f:
+                _json.dump(full, f)
+            _os.replace(tmp, ckpt._metrics_path(k))
         if metrics["l1"] < tol:
             break
 

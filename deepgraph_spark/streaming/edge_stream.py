@@ -1,0 +1,64 @@
+"""Incremental edge construction over a transcript/event stream.
+
+The reference is batch-only (SURVEY.md §1.4); this module extends the band
+join to Structured Streaming: a stream-stream self-join with watermarked
+event time and a time-range join condition, so late rows are handled by the
+watermark and state is bounded to the band width. Connector relations that
+are Column-expressible are applied post-join (the PairPlan's pandas stages
+need bounded batches — use foreachBatch + create_edges_ft for those).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stream_band_edges(
+    stream: DataFrame,
+    *,
+    ft_col: str = "ts",
+    tau_seconds: float = 120.0,
+    group_by: str = "conv_id",
+    index_col: str = "id",
+    watermark: str = "10 minutes",
+    feature_cols: list[str] | None = None,
+) -> DataFrame:
+    """Streaming band join: pairs within ``tau_seconds``, ordered by
+    (event time, id), scoped per ``group_by`` key.
+
+    Returns a streaming DataFrame with columns ``s, t, ft_r`` plus
+    ``<col>_s / <col>_t`` for each feature column. Run with an append-mode
+    sink; state retention is bounded by watermark + band width.
+    """
+    feature_cols = feature_cols or []
+    cols = [group_by, index_col, ft_col, *feature_cols]
+
+    left = stream.select(
+        *[F.col(c).alias(f"{c}_s") for c in cols]
+    ).withWatermark(f"{ft_col}_s", watermark)
+    right = stream.select(
+        *[F.col(c).alias(f"{c}_t") for c in cols]
+    ).withWatermark(f"{ft_col}_t", watermark)
+
+    ts_s, ts_t = F.col(f"{ft_col}_s"), F.col(f"{ft_col}_t")
+    id_s, id_t = F.col(f"{index_col}_s"), F.col(f"{index_col}_t")
+    cond = (
+        (F.col(f"{group_by}_s") == F.col(f"{group_by}_t"))
+        & (ts_t >= ts_s)
+        & (ts_t <= ts_s + F.expr(f"INTERVAL {tau_seconds} SECONDS"))
+        & ((ts_t > ts_s) | (id_t > id_s))
+    )
+    joined = left.join(right, cond, "inner")
+    ft_r = (F.unix_micros(ts_t.cast("timestamp")) - F.unix_micros(ts_s.cast("timestamp"))) / F.lit(
+        1e6
+    )
+    out_cols = [
+        F.col(f"{group_by}_s").alias(group_by),
+        id_s.alias("s"),
+        id_t.alias("t"),
+        ft_r.alias("ft_r"),
+    ]
+    for c in feature_cols:
+        out_cols += [F.col(f"{c}_s"), F.col(f"{c}_t")]
+    return joined.select(*out_cols)

@@ -1,0 +1,75 @@
+"""Streaming band-join: incremental (file-source, availableNow) result must
+equal the batch band join on the same data."""
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from deepgraph_spark.datagen import generate_transcripts
+from deepgraph_spark.streaming import stream_band_edges
+from deepgraph_spark.transcripts import turn_vertices
+
+
+def test_stream_equals_batch(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    tr = turn_vertices(generate_transcripts(spark, n_turns=200, seed=42))
+    # two incremental file drops to exercise multiple micro-batches
+    a, b = tr.where(F.col("turn_idx") % 2 == 0), tr.where(F.col("turn_idx") % 2 == 1)
+    a.write.mode("overwrite").parquet(src)
+    b.write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(tr.schema).parquet(src)
+    edges = stream_band_edges(
+        stream, ft_col="ts", tau_seconds=120, group_by="conv_id", index_col="id",
+        feature_cols=["role"],
+    )
+    q = (
+        edges.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = (
+        spark.read.parquet(out)
+        .toPandas()
+        .sort_values(["s", "t"])
+        .reset_index(drop=True)
+    )
+
+    # batch reference: same band condition on the static table
+    batch = stream_band_edges.__wrapped__ if hasattr(stream_band_edges, "__wrapped__") else None
+    left = tr.select(*[F.col(c).alias(f"{c}_s") for c in ["conv_id", "id", "ts", "role"]])
+    right = tr.select(*[F.col(c).alias(f"{c}_t") for c in ["conv_id", "id", "ts", "role"]])
+    cond = (
+        (F.col("conv_id_s") == F.col("conv_id_t"))
+        & (F.col("ts_t") >= F.col("ts_s"))
+        & (F.col("ts_t") <= F.col("ts_s") + F.expr("INTERVAL 120 SECONDS"))
+        & ((F.col("ts_t") > F.col("ts_s")) | (F.col("id_t") > F.col("id_s")))
+    )
+    exp = (
+        left.join(right, cond)
+        .select(
+            F.col("conv_id_s").alias("conv_id"),
+            F.col("id_s").alias("s"),
+            F.col("id_t").alias("t"),
+            (
+                (F.unix_micros(F.col("ts_t").cast("timestamp")) - F.unix_micros(F.col("ts_s").cast("timestamp"))) / 1e6
+            ).alias("ft_r"),
+            "role_s",
+            "role_t",
+        )
+        .toPandas()
+        .sort_values(["s", "t"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp)
