@@ -181,6 +181,29 @@ def q_lpa_events(spark, sf_dir):
     return label_propagation(e, vertices=verts, max_iter=5)
 
 
+def q_sessionize_events(spark, sf_dir):
+    """Window-function sessionization: new session when the per-user gap
+    exceeds 30 min (SURVEY.md §2 'built-in' coverage: window functions)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.lag(F.col("ts").cast("timestamp")).over(w)
+    )
+    is_new = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    sess = ev.withColumn("sess", F.sum(is_new).over(w))
+    return sess.groupBy("user_id").agg(
+        F.max("sess").cast("long").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def q_top_components_events(spark, sf_dir):
+    """Top-5 largest components (sort + limit, deterministic tie-break)."""
+    cp = q_cc_events(spark, sf_dir)
+    sizes = cp.groupBy("cp").agg(F.count(F.lit(1)).alias("n"))
+    return sizes.orderBy(F.desc("n"), F.asc("cp")).limit(5)
+
+
 # -- pipeline operators ------------------------------------------------------
 
 def q_exact_dedup_documents(spark, sf_dir):
@@ -338,6 +361,40 @@ ORACLES: dict[str, str] = {
         FROM events ev LEFT JOIN reach r ON r.a = ev.event_id
         GROUP BY ev.event_id
     """,
+    "sessionize_events": """
+        WITH g AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) IS NULL
+                          OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+            SELECT user_id,
+                   SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess
+            FROM g
+        )
+        SELECT user_id, CAST(MAX(sess) AS BIGINT) AS n_sessions,
+               COUNT(*) AS n_events
+        FROM s GROUP BY user_id
+    """,
+    "top_components_events": f"""
+        WITH RECURSIVE
+        e AS (SELECT s, t FROM ({EVENT_EDGES_SQL})),
+        sym AS (SELECT s AS a, t AS b FROM e UNION SELECT t, s FROM e),
+        reach(a, b) AS (
+            SELECT a, b FROM sym
+            UNION
+            SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+        ),
+        labels AS (
+            SELECT ev.event_id AS id,
+                   LEAST(ev.event_id, COALESCE(MIN(r.b), ev.event_id)) AS cp
+            FROM events ev LEFT JOIN reach r ON r.a = ev.event_id
+            GROUP BY ev.event_id
+        )
+        SELECT cp, COUNT(*) AS n FROM labels GROUP BY cp
+        ORDER BY n DESC, cp ASC LIMIT 5
+    """,
     "exact_dedup_documents": """
         SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         FROM documents GROUP BY text
@@ -440,6 +497,8 @@ QUERIES = {
     "supernode_labels_nation": q_supernode_labels_nation,
     "triangles_events": q_triangles_events,
     "cc_events": q_cc_events,
+    "sessionize_events": q_sessionize_events,
+    "top_components_events": q_top_components_events,
     "pagerank_events": q_pagerank_events,  # rows-only (iterative)
     "lpa_events": q_lpa_events,  # rows-only (iterative)
     "exact_dedup_documents": q_exact_dedup_documents,
