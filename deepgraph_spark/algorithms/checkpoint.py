@@ -57,6 +57,20 @@ class SuperstepCheckpoint:
         os.replace(tmp, self._metrics_path(k))
         return reread
 
+    def update_metrics(self, k: int, extra: dict) -> None:
+        """Merge convergence measures into an already-committed superstep's
+        marker (used by the single-action loops, where metrics are only known
+        after the materializing aggregation)."""
+        if not self.enabled:
+            return
+        with open(self._metrics_path(k)) as f:
+            full = json.load(f)
+        full.update(extra)
+        tmp = self._metrics_path(k) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(full, f)
+        os.replace(tmp, self._metrics_path(k))
+
     def latest(self) -> tuple[int, DataFrame, dict] | None:
         """Most recent complete superstep, or None."""
         if not self.enabled or not os.path.isdir(self.dir):

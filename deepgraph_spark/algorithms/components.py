@@ -93,13 +93,20 @@ def connected_components(
     prev_sig = None
     for k in range(start_iter, max_iter):
         e2 = _small_star(_large_star(e))
+        # one action per superstep: the signature aggregation materializes the
+        # (lazily) checkpointed edge set; durable mode re-reads parquet first
+        if ckpt.enabled:
+            e2 = ckpt.save(k, e2, {"superstep": k})
+        else:
+            e2 = e2.localCheckpoint(eager=False)
         sig_row = e2.agg(
             F.count(F.lit(1)).alias("cnt"),
             F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("hsh"),
         ).collect()[0]
         sig = (sig_row["cnt"], sig_row["hsh"])
         converged = sig == prev_sig
-        e = ckpt.save(k, e2, {"edges": int(sig_row["cnt"]), "converged": converged})
+        e = e2
+        ckpt.update_metrics(k, {"edges": int(sig_row["cnt"]), "converged": converged})
         if converged:
             break
         prev_sig = sig

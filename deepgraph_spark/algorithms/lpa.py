@@ -61,17 +61,22 @@ def label_propagation(
         best = counts.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).select(
             "id", F.col("label").alias("new_label")
         )
-        new_labels = labels.join(best, "id", "left").select(
-            "id", F.coalesce("new_label", "label").alias("label")
+        # prev label carried in state → one action per superstep (the changed
+        # count materializes the checkpointed state)
+        new_state = labels.join(best, "id", "left").select(
+            "id",
+            F.coalesce("new_label", "label").alias("label"),
+            F.col("label").alias("prev"),
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("label", "old"), "id")
-            .where(F.col("label") != F.col("old"))
-            .count()
-        )
-        labels = ckpt.save(k, new_labels, {"changed": int(changed)})
+        if ckpt.enabled:
+            new_state = ckpt.save(k, new_state, {"superstep": k})
+        else:
+            new_state = new_state.localCheckpoint(eager=False)
+        changed = new_state.where(F.col("label") != F.col("prev")).count()
+        ckpt.update_metrics(k, {"changed": int(changed)})
+        labels = new_state.drop("prev")
         if changed == 0:
             break
 
     sym.unpersist()
-    return labels
+    return labels.select("id", "label")

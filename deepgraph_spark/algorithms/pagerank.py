@@ -167,18 +167,7 @@ def pagerank(
         dangling = float(row["dng"]) or 0.0
         ranks = state.drop("prev")
         history.append(metrics)
-        if ckpt.enabled:
-            # refresh the metrics marker with convergence measures
-            import json as _json
-            import os as _os
-
-            with open(ckpt._metrics_path(k)) as f:
-                full = _json.load(f)
-            full.update(metrics)
-            tmp = ckpt._metrics_path(k) + ".tmp"
-            with open(tmp, "w") as f:
-                _json.dump(full, f)
-            _os.replace(tmp, ckpt._metrics_path(k))
+        ckpt.update_metrics(k, metrics)
         if metrics["l1"] < tol:
             break
 
