@@ -216,7 +216,7 @@ def create_edges(
     out_keys = group_keys if keep_keys else []
     schema = _infer_edge_schema(plan, v_proj, index_col, out_keys)
 
-    if group_keys:
+    if group_keys and not num_blocks:
 
         def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values(index_col, kind="mergesort").reset_index(drop=True)
@@ -235,7 +235,10 @@ def create_edges(
 
         return v_proj.groupBy(*group_keys).applyInPandas(per_group, schema)
 
-    # global all-pairs: hash-block decomposition.
+    # hash-block decomposition — globally, or WITHIN groups when both
+    # group_by and num_blocks are given (the skew path: a giant group is no
+    # longer a single straggler task; its pair space spreads over
+    # B(B+1)/2 block-combo tasks).
     # each node → one of B blocks; every unordered block combo (bi <= bj) is a
     # cogroup key; within a combo the task emits triu (bi==bj) or ordered
     # cross pairs (bi<bj). Replication per node = B combos → choose B ~ #tasks.
@@ -259,13 +262,17 @@ def create_edges(
     ).drop("_blk__r")
 
     v_cols = list(v_proj.columns)
+    n_gk = len(group_keys)
 
     def per_combo(keys, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
-        bi, bj = keys[0], keys[1]
+        bi, bj = keys[n_gk], keys[n_gk + 1]
         rpdf = rpdf.rename(columns={f"{c}__r": c for c in v_cols})
         empty = pd.DataFrame({f.name: pd.Series(dtype="object") for f in schema.fields})
         if len(lpdf) == 0 or len(rpdf) == 0:
             return empty
+        key_vals = (
+            {k: lpdf[k].iloc[0] for k in out_keys} if out_keys else None
+        )
         if bi == bj:
             pdf = lpdf.drop(columns=["bi", "bj"]).sort_values(index_col).reset_index(drop=True)
             n = len(pdf)
@@ -274,7 +281,7 @@ def create_edges(
             for lo in range(0, max(total, 1), step_size):
                 s_idx, t_idx = triu_indices_range(n, lo, min(lo + step_size, total))
                 if len(s_idx):
-                    chunks.append(_build_edge_pdf(plan, pdf, s_idx, t_idx, index_col))
+                    chunks.append(_build_edge_pdf(plan, pdf, s_idx, t_idx, index_col, key_vals))
             return pd.concat(chunks, ignore_index=True) if chunks else empty
         lp = lpdf.drop(columns=["bi", "bj"]).reset_index(drop=True)
         rp = rpdf.drop(columns=["bi2", "bj2"]).reset_index(drop=True)
@@ -290,13 +297,17 @@ def create_edges(
         chunks = []
         for lo in range(0, len(s_idx), step_size):
             chunks.append(
-                _build_edge_pdf(plan, vi, s_idx[lo : lo + step_size], t_idx[lo : lo + step_size], index_col)
+                _build_edge_pdf(
+                    plan, vi, s_idx[lo : lo + step_size], t_idx[lo : lo + step_size], index_col, key_vals
+                )
             )
         return pd.concat(chunks, ignore_index=True) if chunks else empty
 
+    left_keys = [*group_keys, "bi", "bj"]
+    right_keys = [*[f"{k}__r" for k in group_keys], "bi2", "bj2"]
     return (
-        left.groupBy("bi", "bj")
-        .cogroup(right.groupBy("bi2", "bj2"))
+        left.groupBy(*left_keys)
+        .cogroup(right.groupBy(*right_keys))
         .applyInPandas(per_combo, schema)
     )
 

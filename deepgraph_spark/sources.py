@@ -1,0 +1,76 @@
+"""Table IO: Iceberg-backed when a catalog is configured, parquet otherwise.
+
+The reference's out-of-core node table is an HDFStore with row/column
+pushdown (`v.select(key, where=..., columns=...)`,
+iterators_and_indexers.py:219-221); the Spark-native analog is a table scan
+with column pruning + predicate pushdown, plus a declared sort order so the
+fast-track feature's sortedness precondition (deepgraph.py:1046-1050) holds
+physically. Iceberg gives that via table sort orders and hidden
+partitioning; without the runtime jar we fall back to partitioned,
+sorted-within-partition parquet behind the same interface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.org.apache.iceberg.Table  # noqa: B018
+        return True
+    except Exception:
+        return False
+
+
+def read_table(spark: SparkSession, location: str) -> DataFrame:
+    """``catalog.db.table`` (Iceberg) or a parquet path."""
+    if "/" not in location and "." in location and iceberg_available(spark):
+        return spark.read.table(location)
+    if location.endswith(".parquet") or "/" in location:
+        return spark.read.parquet(location)
+    return spark.read.table(location)
+
+
+def write_table(
+    df: DataFrame,
+    location: str,
+    *,
+    partition_by: list[str] | None = None,
+    sort_within_partitions: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write with explicit layout: partition columns for pruning, in-partition
+    sort for band-join locality (e.g. transcripts partitioned by a conv_id
+    bucket, sorted by (conv_id, turn_idx))."""
+    spark = df.sparkSession
+    if sort_within_partitions:
+        if partition_by:
+            df = df.repartition(*[df[c] for c in partition_by])
+        df = df.sortWithinPartitions(*sort_within_partitions)
+    if "/" not in location and "." in location and iceberg_available(spark):
+        writer = df.writeTo(location)
+        if mode == "overwrite":
+            writer.createOrReplace()
+        else:
+            writer.append()
+        return
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(location)
+
+
+def write_transcripts(df: DataFrame, location: str, buckets: int = 64) -> None:
+    """Canonical transcript layout: bucketed by conv_id hash (pruning +
+    co-located per-conversation pair generation), sorted by
+    (conv_id, turn_idx) within partitions — the Iceberg sort-order analog."""
+    from pyspark.sql import functions as F
+
+    df = df.withColumn("conv_bucket", F.pmod(F.abs(F.xxhash64("conv_id")), buckets).cast("int"))
+    write_table(
+        df,
+        location,
+        partition_by=["conv_bucket"],
+        sort_within_partitions=["conv_id", "turn_idx"],
+    )

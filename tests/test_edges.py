@@ -252,6 +252,32 @@ def test_grouped_pairs_scoped(spark):
     assert ((got.s < 100) == (got.t < 100)).all()
 
 
+def test_grouped_blocked_equals_grouped(spark):
+    """Skew path: hash-block decomposition WITHIN groups must produce the
+    same edges as the one-task-per-group path."""
+    pdf = pd.concat(
+        [V8.assign(grp="a"), V8.assign(grp="b", id=V8.id + 100)], ignore_index=True
+    )
+    vdf = spark.createDataFrame(pdf)
+    base = (
+        create_edges(vdf, [dsi], [dsi_t], index_col="id", group_by="grp", keep_keys=True)
+        .toPandas()
+        .sort_values(["s", "t"])
+        .reset_index(drop=True)
+    )
+    for nb in [2, 3, 5]:
+        got = (
+            create_edges(
+                vdf, [dsi], [dsi_t], index_col="id", group_by="grp",
+                keep_keys=True, num_blocks=nb,
+            )
+            .toPandas()
+            .sort_values(["s", "t"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, base)
+
+
 def test_duplicate_outputs_rejected(spark, v8):
     def c1(si_s, si_t):
         x = si_t - si_s
