@@ -91,6 +91,7 @@ def connected_components(
             start_iter += 1
 
     prev_sig = None
+    prev_state = None
     for k in range(start_iter, max_iter):
         e2 = _small_star(_large_star(e))
         # one action per superstep: the signature aggregation materializes the
@@ -105,6 +106,9 @@ def connected_components(
         ).collect()[0]
         sig = (sig_row["cnt"], sig_row["hsh"])
         converged = sig == prev_sig
+        if prev_state is not None and not ckpt.enabled:
+            prev_state.unpersist()
+        prev_state = e2
         e = e2
         ckpt.update_metrics(k, {"edges": int(sig_row["cnt"]), "converged": converged})
         if converged:

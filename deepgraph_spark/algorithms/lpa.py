@@ -52,6 +52,7 @@ def label_propagation(
             else:
                 start_iter += 1
 
+    prev_state = None
     for k in range(start_iter, max_iter):
         nbr_labels = sym.join(
             labels.select(F.col("id").alias("v"), "label"), "v"
@@ -74,6 +75,9 @@ def label_propagation(
             new_state = new_state.localCheckpoint(eager=False)
         changed = new_state.where(F.col("label") != F.col("prev")).count()
         ckpt.update_metrics(k, {"changed": int(changed)})
+        if prev_state is not None and not ckpt.enabled:
+            prev_state.unpersist()  # previous superstep's local checkpoint
+        prev_state = new_state
         labels = new_state.drop("prev")
         if changed == 0:
             break

@@ -117,6 +117,7 @@ def pagerank(
     dangling = ranks.where(F.col("outdeg") == 0).agg(F.sum("rank")).collect()[0][0] or 0.0
 
     history: list[dict] = []
+    prev_state = None
     for k in range(start_iter, max_iter):
         t0 = time.time()
         contrib = edges_w.join(
@@ -155,6 +156,11 @@ def pagerank(
             F.max(F.abs(F.col("rank") - F.col("prev"))).alias("linf"),
             F.sum(F.when(F.col("outdeg") == 0, F.col("rank")).otherwise(0.0)).alias("dng"),
         ).collect()[0]
+        if prev_state is not None and not ckpt.enabled:
+            # free the previous superstep's local checkpoint — otherwise 50+
+            # cached states accumulate and GC pressure grows per iteration
+            prev_state.unpersist()
+        prev_state = state
         metrics = {
             "l1": float(row["l1"]),
             "linf": float(row["linf"]),

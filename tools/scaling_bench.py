@@ -37,7 +37,12 @@ def run_at(cpus: int) -> dict:
     from deepgraph_spark.transcripts import build_turn_graph
 
     spark = get_spark(
-        app_name=f"scaling_{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus * 2
+        app_name=f"scaling_{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus * 2,
+        # shuffled-hash join beats sort-merge for the per-superstep
+        # rank-contribution join (no 38M-row sort per iteration)
+        extra_conf={"spark.sql.join.preferSortMergeJoin": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
 
