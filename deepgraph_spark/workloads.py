@@ -88,8 +88,12 @@ def make_features(
 
 
 def corr(f_s, f_t):
-    a = np.stack(f_s) if len(f_s) else np.empty((0, 1))
-    b = np.stack(f_t) if len(f_t) else np.empty((0, 1))
+    # f_s/f_t arrive as 2D matrices (the engine densifies fixed-width array
+    # columns once per batch) — asarray is a no-op, einsum is one pass
+    a = np.asarray(f_s) if len(f_s) else np.empty((0, 1))
+    b = np.asarray(f_t) if len(f_t) else np.empty((0, 1))
+    if a.dtype == object:
+        a, b = np.stack(a), np.stack(b)
     corr = np.einsum("ij,ij->i", a, b)
     return corr
 
