@@ -106,6 +106,31 @@ def main():
     _ = q_ann_topk_embeddings(spark, SF_DIR).count()
     queries["ann_topk"] = time.time() - t0
 
+    # -- reference-published workloads (BASELINE.md head-to-head) ------------
+    from deepgraph_spark.workloads import (
+        balls_allpairs,
+        balls_ft,
+        make_balls,
+        make_features,
+        pairwise_correlations,
+    )
+
+    vb = make_balls(spark, 1168).persist()
+    vb.count()
+    t0 = time.time()
+    _ = balls_allpairs(vb, num_blocks=4).count()
+    queries["ref_allpairs_1168"] = time.time() - t0  # ref: 0.557s
+    t0 = time.time()
+    _ = balls_ft(vb, 1000).count()
+    queries["ref_ft_1168"] = time.time() - t0  # ref: 0.167s
+
+    vf = make_features(spark, 5000, 100).persist()
+    vf.count()
+    t0 = time.time()
+    n_corr = pairwise_correlations(vf, num_blocks=12).count()
+    corr_sec = time.time() - t0
+    queries["ref_pairwise_corr_5000"] = corr_sec  # ref: 14.193s
+
     total = sum(queries.values())
     out = {
         "metric": "headline suite wall time (transcript gen+edges+pagerank@1e-6 + driver-table ops)",
@@ -122,6 +147,12 @@ def main():
             "tol": 1e-6,
         },
         "events_graph_edges": m_events,
+        "ref_comparison": {
+            "pairwise_corr_pairs_per_sec": round(n_corr / corr_sec, 1),
+            "ref_pairwise_corr_pairs_per_sec": 880000,
+            "ref_allpairs_1168_sec": 0.557,
+            "ref_ft_1168_sec": 0.167,
+        },
     }
     print(json.dumps(out))
     spark.stop()

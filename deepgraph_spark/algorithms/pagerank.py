@@ -15,6 +15,12 @@ Two physical strategies, selected by ``mode``:
   does map-side combine; ``salt`` additionally splits hot destination keys
   (hub vertices) into ``salt`` sub-keys with a two-phase aggregation so no
   single reducer owns a whole hub (SURVEY.md §4.3).
+* ``"broadcast"`` — the mid-scale strategy (rank state ≲ executor memory,
+  i.e. up to ~10^8 vertices): edges are hash-partitioned by **dst** once; each
+  superstep broadcast-joins the rank state into the edge partitions, so the
+  dst aggregation is map-side-complete with NO exchange — per-superstep data
+  movement is just the broadcast. CPU-bound → scales with cores where join
+  mode is bound by per-superstep shuffle I/O.
 * ``"blocks"`` — per-partition CSR SpMV accelerator for graphs whose rank
   vector fits in executor memory (≲10^8 vertices): the rank vector is
   broadcast as a dense numpy array keyed by dense vertex position and each
@@ -90,7 +96,10 @@ def pagerank(
         .join(verts_deg.select("id", "outdeg"), F.col("src") == F.col("id"))
         .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w"))
     )
-    edges_w = edges_w.repartition(num_partitions, "src").persist()
+    # join mode co-locates the contribution join (partition by src);
+    # broadcast mode makes the dst aggregation exchange-free (partition by dst)
+    part_key = "dst" if mode == "broadcast" else "src"
+    edges_w = edges_w.repartition(num_partitions, part_key).persist()
     edges_w.count()  # materialize once
 
     ckpt = SuperstepCheckpoint(spark, checkpoint_dir, job_id)
@@ -122,9 +131,12 @@ def pagerank(
     prev_state = None
     for k in range(start_iter, max_iter):
         t0 = time.time()
-        contrib = edges_w.join(
-            ranks.select(F.col("id").alias("src"), "rank"), "src"
-        ).select("src", "dst", (F.col("w") * F.col("rank")).alias("c"))
+        rank_side = ranks.select(F.col("id").alias("src"), "rank")
+        if mode == "broadcast":
+            rank_side = F.broadcast(rank_side)
+        contrib = edges_w.join(rank_side, "src").select(
+            "src", "dst", (F.col("w") * F.col("rank")).alias("c")
+        )
         if salt and salt > 1:
             # two-phase aggregation: hot dst keys split across `salt` reducers,
             # deterministically by source hash
@@ -148,7 +160,7 @@ def pagerank(
         )
         if ckpt.enabled:
             # durable path: parquet write + metrics on the re-read state
-            pre = {"n_vertices": n, "mode": "join", "salt": salt or 0}
+            pre = {"n_vertices": n, "mode": mode, "salt": salt or 0}
             state = ckpt.save(k, new_state, pre)
         else:
             state = new_state.localCheckpoint(eager=False)
@@ -169,7 +181,7 @@ def pagerank(
             "dangling_mass": float(dangling),
             "n_vertices": n,
             "superstep_sec": time.time() - t0,
-            "mode": "join",
+            "mode": mode,
             "salt": salt or 0,
         }
         dangling = float(row["dng"]) or 0.0

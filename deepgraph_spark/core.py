@@ -273,6 +273,24 @@ class DeepGraphFrame:
         colsx = np.array([pos[x] for x in epd["t"].values])
         return sp.coo_matrix((data, (rows, colsx)), shape=(len(ids), len(ids)))
 
+    def to_networkx_multigraph(self, relations=None):
+        """MultiDiGraph export: one edge per non-null relation CELL
+        (ref ``return_nx_multigraph`` / ``_iter_edges``,
+        iterators_and_indexers.py:708-715). Test-oracle only."""
+        import networkx as nx
+
+        relations = _as_list(relations)
+        g = nx.MultiDiGraph()
+        for row in self.v.toPandas().itertuples():
+            g.add_node(getattr(row, self.index_col))
+        epd = self.e.select("s", "t", *relations).toPandas()
+        for row in epd.itertuples(index=False):
+            for rel in relations:
+                val = getattr(row, rel)
+                if val is not None and not (isinstance(val, float) and val != val):
+                    g.add_edge(row.s, row.t, key=rel, **{rel: val})
+        return g
+
     def to_networkx(self, relations=None, dropna: str = "none"):
         import networkx as nx
 

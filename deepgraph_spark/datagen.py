@@ -55,20 +55,59 @@ def _plan_conversations(n_turns_target: int, seed: int) -> pd.DataFrame:
     )
 
 
+def _plan_conversations_distributed(
+    spark: SparkSession, n_turns_target: int, seed: int, partitions: int
+) -> DataFrame:
+    """Fully executor-side conversation plan for huge scales: sizes are an
+    inverse-power-law transform of per-conversation hash-uniforms (Zipf-ish,
+    same skew shape as the driver-side planner), so nothing of O(#convs)
+    ever materializes on the driver. Total turn count is approximate
+    (documented; exact-count generation is a driver-side concern that stops
+    mattering at 10^9+ turns)."""
+    from pyspark.sql import functions as F
+
+    mean_size = 3.2  # empirical mean of the clipped zipf(1.6) draw
+    n_convs = max(1, int(n_turns_target / mean_size))
+    ids = spark.range(0, n_convs, 1, partitions).select(
+        F.concat(F.lit("conv-"), F.lpad(F.col("id").cast("string"), 8, "0")).alias("conv_id"),
+        F.col("id").alias("cid"),
+    )
+    u = (F.abs(F.xxhash64("conv_id", F.lit(seed))) % 1_000_000) / 1_000_000.0 + 1e-9
+    # inverse-transform power-law: P(S >= s) ~ s^(1-a), a = 1.6
+    size = F.least(
+        F.greatest(F.floor(F.pow(u, F.lit(-1.0 / 0.6))), F.lit(1)),
+        F.lit(max(4, n_turns_target // 4)),
+    )
+    start = F.abs(F.xxhash64("conv_id", F.lit(seed + 1))) % (86400 * 30)
+    return ids.select(
+        "conv_id",
+        size.cast("long").alias("n_turns"),
+        start.cast("long").alias("start_s"),
+    )
+
+
 def generate_transcripts(
     spark: SparkSession,
     n_turns: int = 1000,
     seed: int = 42,
     partitions: int | None = None,
+    distributed: bool | None = None,
 ) -> DataFrame:
-    """Deterministic transcripts table with exactly ``n_turns`` rows.
+    """Deterministic transcripts table with exactly ``n_turns`` rows (driver
+    plan) or approximately (``distributed=True``, no O(#convs) driver state —
+    the 10^12-turn path; auto-selected above 5M turns).
 
     All per-turn attributes are hash-derived from ``(conv_id, turn_idx)`` with
     native Column expressions — executor-side, vectorized, reproducible under
     any partitioning.
     """
-    plan = _plan_conversations(n_turns, seed)
-    pdf = spark.createDataFrame(plan)
+    if distributed is None:
+        distributed = n_turns > 5_000_000
+    if distributed:
+        pdf = _plan_conversations_distributed(spark, n_turns, seed, partitions or 64)
+    else:
+        plan = _plan_conversations(n_turns, seed)
+        pdf = spark.createDataFrame(plan)
     if partitions:
         pdf = pdf.repartition(partitions, "conv_id")
 

@@ -43,7 +43,10 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # larger Arrow batches: per-batch overhead dominates pandas-stage cost
+        # at small batch sizes (measured 2-3x on pair-heavy outputs); 100k rows
+        # keeps batch memory modest while amortizing the boundary crossing
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
         # deterministic timestamp semantics for parity with pandas/DuckDB
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))

@@ -278,6 +278,37 @@ def test_grouped_blocked_equals_grouped(spark):
         pd.testing.assert_frame_equal(got, base)
 
 
+def test_ft_selector_placement(spark, v8):
+    """'ft_selector' placed explicitly in the selector list runs in that
+    position (ref test_CreateEdges.py:572-579): a cheap selector first can
+    shrink pairs before the band predicate."""
+    def keep_small_t(si_t, sources, targets):
+        keep = si_t <= 5
+        sources = sources[keep]
+        targets = targets[keep]
+        return sources, targets
+
+    e1 = _collect(
+        create_edges_ft(v8, ("si", 3), [dsf], [keep_small_t, "ft_selector"], index_col="id")
+    )
+    e2 = _collect(create_edges_ft(v8, ("si", 3), [dsf], [keep_small_t], index_col="id"))
+    # same final pair set regardless of order (both predicates are applied)
+    pd.testing.assert_frame_equal(e1, e2)
+    exp = full_golden()
+    exp = exp[(exp.dsi <= 3) & (exp.t <= 5)].reset_index(drop=True)
+    assert e1[["s", "t"]].values.tolist() == exp[["s", "t"]].values.tolist()
+
+
+def test_log_binning(spark):
+    from deepgraph_spark.core import DeepGraphFrame
+
+    pdf = pd.DataFrame({"id": range(5), "val": [1.0, 10.0, 100.0, 1000.0, 10000.0]})
+    g = DeepGraphFrame(spark.createDataFrame(pdf), index_col="id")
+    g.append_binning_labels_v("val", "bin", bins=5, log_bins=True)
+    got = g.v.toPandas().sort_values("id").bin.tolist()
+    assert got == [0, 1, 2, 3, 3]  # log10 in [0,4], 4 buckets, right edge in last
+
+
 def test_duplicate_outputs_rejected(spark, v8):
     def c1(si_s, si_t):
         x = si_t - si_s
