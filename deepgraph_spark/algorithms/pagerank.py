@@ -67,6 +67,7 @@ def pagerank(
     salt: int | None = None,
     mode: str = "join",
     num_partitions: int | None = None,
+    check_every: int = 1,
 ) -> tuple[DataFrame, list[dict]]:
     """Returns ``(ranks_df(id, rank), metrics_history)``. Convergence: L1
     delta < tol. ``resume=True`` restarts from the latest complete superstep
@@ -121,17 +122,14 @@ def pagerank(
             spark, verts_deg, edges_w, ranks, n, damping, tol, max_iter, ckpt, start_iter
         )
 
-    # dangling mass of the CURRENT state is folded into the single metrics
-    # aggregation of the PREVIOUS superstep, so each superstep runs exactly
-    # one Spark action (the combined materialize + metrics pass); only the
-    # first (or resumed) iteration pays a separate pass.
-    dangling = ranks.where(F.col("outdeg") == 0).agg(F.sum("rank")).collect()[0][0] or 0.0
-
-    history: list[dict] = []
-    prev_state = None
-    for k in range(start_iter, max_iter):
-        t0 = time.time()
-        rank_side = ranks.select(F.col("id").alias("src"), "rank")
+    # One Spark action per `check_every` supersteps: intermediate supersteps
+    # chain lazily (dangling mass enters the plan as a broadcast 1-row cross
+    # join, so no scalar collect is needed mid-chain); the combined
+    # materialize + metrics aggregation at each check point amortizes the
+    # fixed per-action cost — the lever that matters when per-superstep
+    # overhead (shuffle spin-up, scheduling, broadcast build) rivals compute.
+    def one_superstep(ranks_df: DataFrame, dangling_col_df: DataFrame) -> DataFrame:
+        rank_side = ranks_df.select(F.col("id").alias("src"), "rank")
         if mode == "broadcast":
             rank_side = F.broadcast(rank_side)
         contrib = edges_w.join(rank_side, "src").select(
@@ -147,47 +145,67 @@ def pagerank(
         else:
             sums = contrib.groupBy("dst").agg(F.sum("c").alias("contrib"))
 
-        base = (1.0 - damping) / n + damping * dangling / n
-        new_state = (
-            ranks.join(sums.withColumnRenamed("dst", "id"), "id", "left")
+        return (
+            ranks_df.join(sums.withColumnRenamed("dst", "id"), "id", "left")
             .fillna(0.0, subset=["contrib"])
+            .crossJoin(F.broadcast(dangling_col_df))
             .select(
                 "id",
-                (F.lit(base) + F.lit(damping) * F.col("contrib")).alias("rank"),
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * (F.col("_dng") / n)
+                    + F.lit(damping) * F.col("contrib")
+                ).alias("rank"),
                 F.col("rank").alias("prev"),
                 "outdeg",
             )
         )
+
+    history: list[dict] = []
+    prev_state = None
+    k = start_iter
+    while k < max_iter:
+        t0 = time.time()
+        steps = min(check_every, max_iter - k)
+        cur = ranks
+        for _ in range(steps):
+            dng_df = cur.agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("outdeg") == 0, F.col("rank"))), F.lit(0.0)
+                ).alias("_dng")
+            )
+            cur = one_superstep(cur, dng_df)
+        k_end = k + steps - 1  # superstep index of the materialized state
+
         if ckpt.enabled:
             # durable path: parquet write + metrics on the re-read state
             pre = {"n_vertices": n, "mode": mode, "salt": salt or 0}
-            state = ckpt.save(k, new_state, pre)
+            state = ckpt.save(k_end, cur, pre)
         else:
-            state = new_state.localCheckpoint(eager=False)
+            state = cur.localCheckpoint(eager=False)
 
         row = state.agg(
             F.sum(F.abs(F.col("rank") - F.col("prev"))).alias("l1"),
             F.max(F.abs(F.col("rank") - F.col("prev"))).alias("linf"),
-            F.sum(F.when(F.col("outdeg") == 0, F.col("rank")).otherwise(0.0)).alias("dng"),
         ).collect()[0]
         if prev_state is not None and not ckpt.enabled:
-            # free the previous superstep's local checkpoint — otherwise 50+
+            # free the previous check point's local checkpoint — otherwise 50+
             # cached states accumulate and GC pressure grows per iteration
             prev_state.unpersist()
         prev_state = state
         metrics = {
             "l1": float(row["l1"]),
             "linf": float(row["linf"]),
-            "dangling_mass": float(dangling),
             "n_vertices": n,
-            "superstep_sec": time.time() - t0,
+            "supersteps": steps,
+            "superstep_sec": (time.time() - t0) / steps,
             "mode": mode,
             "salt": salt or 0,
         }
-        dangling = float(row["dng"]) or 0.0
         ranks = state.drop("prev")
         history.append(metrics)
-        ckpt.update_metrics(k, metrics)
+        ckpt.update_metrics(k_end, metrics)
+        k = k_end + 1
         if metrics["l1"] < tol:
             break
 

@@ -27,6 +27,9 @@ def get_spark(
     ``spark-submit --py-files deepgraph_spark.zip`` and ``master`` is left to
     the submit command; nothing in the engine assumes local mode.
     """
+    # local-mode python workers inherit the driver env — pin BLAS pools here too
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if master is None:
         master = f"local[{cpus}]"
@@ -50,6 +53,11 @@ def get_spark(
         # deterministic timestamp semantics for parity with pandas/DuckDB
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # numpy/BLAS inside Arrow workers must not spawn their own thread
+        # pools — N workers x 32 BLAS threads thrashes the box (measured)
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")
     )
