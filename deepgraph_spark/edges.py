@@ -128,12 +128,18 @@ def _build_edge_pdf(
     targets: np.ndarray,
     index_col: str,
     key_vals: dict | None = None,
+    key_arrays: dict | None = None,
 ) -> pd.DataFrame:
     sources, targets, stored = plan.evaluate(vi, sources, targets)
     out = {}
     if key_vals:
         for k, val in key_vals.items():
             out[k] = np.repeat(val, len(sources))
+    if key_arrays:
+        # per-row keys (mapInPandas batches may mix groups): indexed by the
+        # surviving source positions, which are row positions into vi
+        for k, arr in key_arrays.items():
+            out[k] = arr[sources]
     out["s"] = vi[index_col].values[sources]
     out["t"] = vi[index_col].values[targets]
     for r in plan.relation_names:
@@ -434,8 +440,14 @@ def create_edges_ft(
                 )
                 sources = np.arange(n, dtype=np.int64)
                 targets = sources + n
-                key_vals = {k: batch[k].iloc[0] for k in out_keys} if out_keys else None
-                out = _build_edge_pdf(plan, vi, sources, targets, index_col, key_vals)
+                key_arrays = (
+                    {k: np.concatenate([batch[k].values, batch[k].values]) for k in out_keys}
+                    if out_keys
+                    else None
+                )
+                out = _build_edge_pdf(
+                    plan, vi, sources, targets, index_col, key_arrays=key_arrays
+                )
                 if len(out):
                     yield out
 

@@ -278,6 +278,20 @@ def test_grouped_blocked_equals_grouped(spark):
         pd.testing.assert_frame_equal(got, base)
 
 
+def test_ft_keep_keys_mixed_batches(spark):
+    """keep_keys must be correct even when one Arrow batch spans groups."""
+    pdf = pd.concat(
+        [V8.assign(grp="a"), V8.assign(grp="b", id=V8.id + 100)], ignore_index=True
+    )
+    vdf = spark.createDataFrame(pdf).repartition(1)
+    e = create_edges_ft(
+        vdf, ("si", 3), index_col="id", group_by="grp", keep_keys=True
+    ).toPandas()
+    assert set(e.grp) == {"a", "b"}
+    assert ((e.s < 100) == (e.grp == "a")).all()
+    assert ((e.t < 100) == (e.grp == "a")).all()
+
+
 def test_ft_selector_placement(spark, v8):
     """'ft_selector' placed explicitly in the selector list runs in that
     position (ref test_CreateEdges.py:572-579): a cheap selector first can

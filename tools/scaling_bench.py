@@ -42,7 +42,12 @@ def run_at(cpus: int) -> dict:
         shuffle_partitions=cpus * 2,
         # shuffled-hash join beats sort-merge for the per-superstep
         # rank-contribution join (no 38M-row sort per iteration)
-        extra_conf={"spark.sql.join.preferSortMergeJoin": "false"},
+        extra_conf={
+            "spark.sql.join.preferSortMergeJoin": "false",
+            # the superstep loop is statically co-partitioned; AQE's
+            # per-exchange replanning round trips are pure overhead there
+            "spark.sql.adaptive.enabled": os.environ.get("SCALING_AQE", "false"),
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
