@@ -146,11 +146,3 @@ def generate_transcripts(
     )
 
 
-def transcripts_pandas(n_turns: int = 1000, seed: int = 42) -> pd.DataFrame:
-    """Small-scale pandas twin of :func:`generate_transcripts` for oracles.
-
-    Computes the identical table via a local SparkSession-free path is not
-    possible (hash parity), so tests instead pull ``generate_transcripts``
-    through ``.toPandas()``; this helper exists for pure-pandas fixtures.
-    """
-    raise NotImplementedError("use generate_transcripts(spark, ...).toPandas()")

@@ -451,9 +451,7 @@ def create_edges_ft(
                 if len(out):
                     yield out
 
-    # group keys kept for keep_keys output; rename the __k_ columns back
     sel = [F.col(k).alias(k) for k in group_keys] + [
         F.col(f"{c}_s") for c in base_feats
     ] + [F.col(f"{c}_t") for c in base_feats]
-    pairs_proj = pairs.select(*sel) if group_keys else pairs.select(*sel)
-    return pairs_proj.mapInPandas(run_plan, schema)
+    return pairs.select(*sel).mapInPandas(run_plan, schema)

@@ -1,0 +1,86 @@
+"""spark-submit entry: full kernel sweep on the transcript link graph.
+
+    spark-submit --master local[N] --py-files deepgraph_spark.zip \
+        jobs/graph_kernels_job.py --turns 100000 --tau 120 \
+        --kernels pagerank,cc,lpa,triangles --checkpoint /tmp/ck
+
+Each kernel checkpoints per superstep under --checkpoint/<kernel> and
+resumes if re-run. Prints one JSON line of timings + summary stats.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--turns", type=int, default=100_000)
+    ap.add_argument("--tau", type=float, default=120.0)
+    ap.add_argument("--kernels", default="pagerank,cc,lpa,triangles")
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--input", default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = SparkSession.builder.appName("deepgraph_spark_kernels").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from deepgraph_spark.algorithms import (
+        connected_components,
+        label_propagation,
+        pagerank,
+        triangle_count,
+    )
+    from deepgraph_spark.datagen import generate_transcripts
+    from deepgraph_spark.transcripts import build_turn_graph
+
+    tr = (
+        spark.read.parquet(args.input)
+        if args.input
+        else generate_transcripts(spark, n_turns=args.turns, seed=42).persist()
+    )
+    g = build_turn_graph(tr, tau_seconds=args.tau)
+    edges = g.e.select("s", "t").persist()
+    verts = g.v.select("id")
+    out: dict = {"m_edges": edges.count(), "n_vertices": verts.count()}
+
+    kernels = set(args.kernels.split(","))
+    if "pagerank" in kernels:
+        t0 = time.time()
+        ranks, hist = pagerank(
+            edges, vertices=verts, tol=1e-6, mode="blocks", checkpoint_dir=args.checkpoint
+        )
+        out["pagerank"] = {
+            "sec": round(time.time() - t0, 2),
+            "iterations": len(hist),
+            "max_rank": float(ranks.agg(F.max("rank")).collect()[0][0]),
+        }
+    if "cc" in kernels:
+        t0 = time.time()
+        cp = connected_components(edges, vertices=verts, checkpoint_dir=args.checkpoint)
+        out["cc"] = {
+            "sec": round(time.time() - t0, 2),
+            "n_components": cp.select("cp").distinct().count(),
+        }
+    if "lpa" in kernels:
+        t0 = time.time()
+        lab = label_propagation(edges, vertices=verts, max_iter=5, checkpoint_dir=args.checkpoint)
+        out["lpa"] = {
+            "sec": round(time.time() - t0, 2),
+            "n_labels": lab.select("label").distinct().count(),
+        }
+    if "triangles" in kernels:
+        t0 = time.time()
+        out["triangles"] = {"count": triangle_count(edges), "sec": round(time.time() - t0, 2)}
+
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

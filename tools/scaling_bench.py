@@ -39,7 +39,7 @@ def run_at(cpus: int) -> dict:
     spark = get_spark(
         app_name=f"scaling_{cpus}",
         master=f"local[{cpus}]",
-        shuffle_partitions=cpus * 2,
+        shuffle_partitions=int(os.environ.get("SCALING_SHUFFLE_MULT", "1")) * cpus,
         # shuffled-hash join beats sort-merge for the per-superstep
         # rank-contribution join (no 38M-row sort per iteration)
         extra_conf={
