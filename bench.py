@@ -117,6 +117,9 @@ def main():
 
     vb = make_balls(spark, 1168).persist()
     vb.count()
+    # warm python workers + numpy before the timed head-to-head runs
+    _ = balls_allpairs(make_balls(spark, 200, seed=1), num_blocks=2).count()
+    _ = pairwise_correlations(make_features(spark, 300, 100, seed=1), num_blocks=4).count()
     t0 = time.time()
     _ = balls_allpairs(vb, num_blocks=4).count()
     queries["ref_allpairs_1168"] = time.time() - t0  # ref: 0.557s
