@@ -220,13 +220,16 @@ def pagerank(
 def _pagerank_blocks(spark, verts_deg, edges_w, ranks, n, damping, tol, max_iter, ckpt, start_iter):
     """Dense-position CSR accelerator: rank vector broadcast per superstep,
     per-partition numpy SpMV, pre-aggregated partials shuffled once."""
-    # dense positions (driver-held mapping is avoided: positions assigned by
-    # a ranked window once, then carried on the edge table)
-    from pyspark.sql import Window
-
-    pos = verts_deg.select("id", "outdeg").withColumn(
-        "pos", F.row_number().over(Window.orderBy("id")) - 1
-    ).persist()
+    # dense positions via zipWithIndex (two-pass partition-offset scheme) —
+    # no single-partition global window, so id assignment stays distributed
+    pos = (
+        verts_deg.select("id", "outdeg")
+        .sort("id")
+        .rdd.zipWithIndex()
+        .map(lambda r: (r[0]["id"], r[0]["outdeg"], r[1]))
+        .toDF(["id", "outdeg", "pos"])
+        .persist()
+    )
     # partition by destination: every dst lives in exactly one partition, so
     # per-partition combine already yields globally-unique partial keys
     # (<= n rows collected per superstep) and sizing follows edge volume.
