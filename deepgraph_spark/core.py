@@ -253,6 +253,30 @@ class DeepGraphFrame:
         )
         return self
 
+    # -- graph algorithms (ref append_cp, deepgraph.py:2244-2319) -----------
+    def append_cp(
+        self,
+        consolidate_singles: bool = False,
+        col_name: str = "cp",
+        **kw,
+    ) -> "DeepGraphFrame":
+        """Attach connected-component labels to ``v`` — the reference's
+        ``append_cp`` (size-ordered labels; ``consolidate_singles`` puts all
+        singletons under label 0), computed distributed."""
+        from deepgraph_spark.algorithms import connected_components
+
+        cp = connected_components(
+            self.e,
+            vertices=self.v.select(self.index_col),
+            index_col=self.index_col,
+            consolidate_singles=consolidate_singles,
+            **kw,
+        )
+        if col_name != "cp":
+            cp = cp.withColumnRenamed("cp", col_name)
+        self.v = self.v.join(cp, self.index_col, "left")
+        return self
+
     # -- exports (test-oracle only; ref deepgraph.py:1746-2242) -------------
     def to_scipy_coo(self, relation: str | None = None, dropna: bool = True):
         """COO adjacency for *small* graphs (collects to the driver — the

@@ -124,6 +124,21 @@ def test_filter_intervals(g, spark):
     assert (gf2.e.toPandas().dx >= 0).all()
 
 
+def test_append_cp(spark):
+    """Reference semantics (test_DeepGraph.py:407-433): components on a
+    2-edge subgraph of v5 — sizes (3,1,1); consolidate_singles=True →
+    labels [1,1,1,0,0]."""
+    e2 = spark.createDataFrame(pd.DataFrame({"s": [0, 0], "t": [1, 2]}))
+
+    gf = DeepGraphFrame(spark.createDataFrame(V5), e2, index_col="id")
+    gf.append_cp(consolidate_singles=True)
+    assert gf.v.toPandas().sort_values("id").cp.tolist() == [1, 1, 1, 0, 0]
+
+    gf2 = DeepGraphFrame(spark.createDataFrame(V5), e2, index_col="id")
+    gf2.append_cp()
+    assert gf2.v.toPandas().sort_values("id").cp.tolist() == [0, 0, 0, 1, 2]
+
+
 def test_binning(spark):
     v = spark.createDataFrame(pd.DataFrame({"id": range(6), "val": [0.0, 1, 2, 3, 4, 5]}))
     gf = DeepGraphFrame(v, index_col="id")

@@ -47,6 +47,9 @@ def run_at(cpus: int) -> dict:
             # the superstep loop is statically co-partitioned; AQE's
             # per-exchange replanning round trips are pure overhead there
             "spark.sql.adaptive.enabled": os.environ.get("SCALING_AQE", "false"),
+            # shuffle + local-checkpoint files through tmpfs: removes the
+            # single local disk from the superstep loop entirely
+            "spark.local.dir": os.environ.get("SCALING_LOCAL_DIR", "/dev/shm/spark-local"),
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
