@@ -20,7 +20,7 @@ Vertex ids must be orderable (long / string). Requires ids comparable with
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from deepgraph_spark.algorithms.checkpoint import SuperstepCheckpoint
@@ -133,18 +133,17 @@ def connected_components(
     if not (label_by_size or consolidate_singles):
         return all_labeled.withColumnRenamed("cp_raw", "cp")
 
+    # size-ordered dense labels via sort+zipWithIndex — distributed (no
+    # global single-partition window even with millions of components)
+    from deepgraph_spark.core import with_dense_index
+
     sizes = all_labeled.groupBy("cp_raw").agg(F.count(F.lit(1)).alias("sz"))
+    order = [F.desc("sz"), F.asc("cp_raw")]
     if consolidate_singles:
         # singletons → 0; others numbered from 1 by size desc (ties: min id)
-        nonsingle = sizes.where(F.col("sz") > 1).withColumn(
-            "cp", F.row_number().over(Window.orderBy(F.desc("sz"), F.asc("cp_raw"))).cast("long")
-        )
-        mapping = sizes.join(nonsingle.select("cp_raw", "cp"), "cp_raw", "left").fillna(
-            0, subset=["cp"]
-        )
+        nonsingle = with_dense_index(sizes.where(F.col("sz") > 1), order, "cp_0")
+        nonsingle = nonsingle.select("cp_raw", (F.col("cp_0") + 1).alias("cp"))
+        mapping = sizes.join(nonsingle, "cp_raw", "left").fillna(0, subset=["cp"])
     else:
-        mapping = sizes.withColumn(
-            "cp",
-            (F.row_number().over(Window.orderBy(F.desc("sz"), F.asc("cp_raw"))) - 1).cast("long"),
-        )
+        mapping = with_dense_index(sizes, order, "cp")
     return all_labeled.join(mapping.select("cp_raw", "cp"), "cp_raw").select(index_col, "cp")

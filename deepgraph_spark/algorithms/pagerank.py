@@ -168,7 +168,15 @@ def pagerank(
         t0 = time.time()
         steps = min(check_every, max_iter - k)
         cur = ranks
-        for _ in range(steps):
+        intermediates = []
+        for i in range(steps):
+            if i > 0:
+                # each superstep references `cur` twice (dangling-mass agg +
+                # contribution join); a lazy localCheckpoint makes both refs
+                # share one cached leaf, so the chained plan grows linearly in
+                # check_every instead of ~2^k (still one action per chain)
+                cur = cur.localCheckpoint(eager=False)
+                intermediates.append(cur)
             dng_df = cur.agg(
                 F.coalesce(
                     F.sum(F.when(F.col("outdeg") == 0, F.col("rank"))), F.lit(0.0)
@@ -192,6 +200,8 @@ def pagerank(
             # free the previous check point's local checkpoint — otherwise 50+
             # cached states accumulate and GC pressure grows per iteration
             prev_state.unpersist()
+        for im in intermediates:  # chained-superstep caches: done after collect
+            im.unpersist()
         prev_state = state
         metrics = {
             "l1": float(row["l1"]),

@@ -309,6 +309,16 @@ class PairPlan:
                 old_key = sources.astype(np.int64) * n + targets.astype(np.int64)
                 new_key = new_s.astype(np.int64) * n + new_t.astype(np.int64)
                 keep = np.isin(old_key, new_key)
+                if not np.array_equal(old_key[keep], new_key):
+                    # a selector that reorders (or duplicates) survivors would
+                    # silently misalign every previously stored relation with
+                    # its pair — fail loudly instead (contract: selectors
+                    # return an order-preserving subset, ref deepgraph.py:302)
+                    raise ValueError(
+                        f"selector {sel.name} returned pairs out of the input "
+                        "order (or with duplicates); selectors must return an "
+                        "order-preserving subset of (sources, targets)"
+                    )
                 for r in stored:
                     stored[r] = stored[r][keep]
             sources, targets = new_s, new_t

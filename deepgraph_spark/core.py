@@ -10,7 +10,7 @@ Catalyst handles pruning/pushdown/join-selection.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from deepgraph_spark import edges as _edges
@@ -107,15 +107,22 @@ class DeepGraphFrame:
 
     # -- supernode labels (deepgraph.py:101-111,137-146) ------------------
     def supernode_labels_by(self, label_col: str, by) -> "DeepGraphFrame":
-        """Dense group-id enumeration: join v against a ranked distinct-key
-        table (the scalable analog of pandas ``grouper.group_info[0]``)."""
+        """Dense group-id enumeration: join v against a distinct-key table
+        indexed by sort+zipWithIndex (the scalable analog of pandas
+        ``grouper.group_info[0]`` — no global window, so millions of groups
+        stay distributed)."""
         by = _as_list(by)
-        labels = (
-            self.v.select(*by)
-            .distinct()
-            .withColumn(label_col, F.dense_rank().over(Window.orderBy(*by)) - 1)
-        )
+        labels = with_dense_index(self.v.select(*by).distinct(), by, label_col)
         self.v = self.v.join(F.broadcast(labels), on=by, how="left")
+        return self
+
+    def superedge_labels_by(self, label_col: str, by) -> "DeepGraphFrame":
+        """Edge-side twin of :meth:`supernode_labels_by`: dense relation-group
+        ids on ``e`` (ref ``DeepGraph.__init__`` superedge labels,
+        deepgraph.py:137-146)."""
+        by = _as_list(by)
+        labels = with_dense_index(self.e.select(*by).distinct(), by, label_col)
+        self.e = self.e.join(F.broadcast(labels), on=by, how="left")
         return self
 
     # -- partitioning (deepgraph.py:1086-1744) -----------------------------
@@ -220,27 +227,57 @@ class DeepGraphFrame:
 
     # -- binning / datetime categories (deepgraph.py:2321-2537) ------------
     def append_binning_labels_v(
-        self, col: str, new_col: str, bins: int = 10, log_bins: bool = False, floor_: bool = False
-    ) -> "DeepGraphFrame":
-        """Histogram bin labels over [min, max] with ``bins`` edges
-        (``bins - 1`` buckets, right-closed last bucket), linear or log10 —
-        semantics of the reference's ``np.digitize``-based labeller
-        (deepgraph.py:2321-2460; bin edges at utils.py:6-25)."""
-        x = F.log10(F.col(col)) if log_bins else F.col(col)
-        mm = self.v.agg(
-            F.min(x).alias("lo"), F.max(x).alias("hi")
-        ).collect()[0]
-        lo, hi = float(mm["lo"]), float(mm["hi"])
-        nb = bins - 1
-        width = (hi - lo) / nb if hi > lo else 1.0
-        raw = F.floor((x - F.lit(lo)) / F.lit(width))
-        label = F.when(x >= hi, nb - 1).otherwise(raw).cast("int")
-        if floor_:
-            edge_val = (F.lit(lo) + label * F.lit(width))
-            out = F.pow(F.lit(10.0), edge_val) if log_bins else edge_val
-            self.v = self.v.withColumn(new_col, out)
+        self,
+        col: str,
+        new_col: str,
+        bins=10,
+        log_bins: bool = False,
+        floor: bool = False,
+        return_bin_edges: bool = False,
+    ):
+        """``np.digitize`` bin labels — full reference semantics
+        (deepgraph.py:2321-2460; edge construction utils.py:6-25):
+
+        * ``bins`` int, linear: edges = ``np.linspace(min, max, bins)``;
+        * ``bins`` int, ``log_bins``: bins *per magnitude* — ``n =
+          ceil((log10 max - log10 min) * bins)`` logspaced edges;
+        * ``floor``: edges floored to integers, de-duplicated, last edge
+          pinned to max;
+        * ``bins`` sequence: explicit edges (incl. rightmost), non-uniform
+          widths allowed.
+
+        Label = ``np.digitize(x, edges)`` (count of edges <= x), evaluated as
+        a native Column over the edge-literal array — one aggregate for
+        min/max, then pure codegen; no data leaves the executors.
+        Returns the edges if ``return_bin_edges`` (else ``self``).
+        """
+        import numpy as np
+
+        if hasattr(bins, "__len__") and not isinstance(bins, str):
+            edges = np.asarray(list(bins), dtype=float)
         else:
-            self.v = self.v.withColumn(new_col, label)
+            mm = self.v.agg(
+                F.min(F.col(col).cast("double")).alias("lo"),
+                F.max(F.col(col).cast("double")).alias("hi"),
+            ).collect()[0]
+            lo, hi = float(mm["lo"]), float(mm["hi"])
+            if not log_bins:
+                edges = np.linspace(lo, hi, int(bins))
+                if floor:
+                    edges = np.unique(np.floor(edges))
+                    edges[-1] = hi
+            else:
+                n_edges = int(np.ceil((np.log10(hi) - np.log10(lo)) * bins))
+                edges = np.logspace(np.log10(lo), np.log10(hi), n_edges)
+                if floor:
+                    edges = np.unique(np.floor(edges))
+                    edges[-1] = hi
+        arr = F.array([F.lit(float(e)) for e in edges])
+        x = F.col(col).cast("double")
+        label = F.size(F.filter(arr, lambda e: x >= e))
+        self.v = self.v.withColumn(new_col, label.cast("int"))
+        if return_bin_edges:
+            return edges
         return self
 
     def append_datetime_categories_v(self, col: str, tod_col: str = "tod", season_col: str = "season") -> "DeepGraphFrame":
@@ -334,12 +371,24 @@ class DeepGraphFrame:
 
 
 def with_dense_index(df: DataFrame, order_by, index_col: str = "id") -> DataFrame:
-    """Attach a dense 0-based node id ordered by ``order_by``.
+    """Attach a dense 0-based id in ``order_by`` order — distributed.
 
-    Window-based (single-pass) for test-scale tables; at 100 TB scale the id
-    should instead come from the natural key (e.g. ``xxhash64(conv_id,
-    turn_idx)``) or a precomputed dimension — see datagen/transcript ids.
+    ``sort`` range-partitions (sampled boundaries), then ``zipWithIndex``
+    assigns globally consecutive indices with one extra pass that only counts
+    partition sizes (the two-pass partition-offset scheme). No
+    single-partition global window anywhere, so this scales to arbitrarily
+    many rows; the RDD hop is the one place imperative API is warranted
+    (Catalyst has no distributed dense-rank-without-partition).
+
+    ``order_by``: column names or Column expressions (e.g. ``F.desc(...)``).
     """
-    order_by = _as_list(order_by)
-    w = Window.orderBy(*[F.col(c) for c in order_by])
-    return df.withColumn(index_col, F.row_number().over(w).cast("long") - 1)
+    from pyspark.sql import types as T
+
+    if not isinstance(order_by, (list, tuple)):
+        order_by = [order_by]
+    sdf = df.sort(*order_by)
+    schema = T.StructType(
+        list(sdf.schema.fields) + [T.StructField(index_col, T.LongType(), False)]
+    )
+    rdd = sdf.rdd.zipWithIndex().map(lambda x: (*x[0], x[1]))
+    return sdf.sparkSession.createDataFrame(rdd, schema)

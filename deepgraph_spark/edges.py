@@ -370,25 +370,35 @@ def create_edges_ft(
     out_keys = group_keys if keep_keys else []
     schema = _infer_edge_schema(plan, v_proj, index_col, out_keys)
 
-    # numeric band value (timestamps → epoch seconds = micros/1e6, matching
-    # the exact integer-microsecond arithmetic a SQL oracle uses)
+    # numeric band value. Timestamps stay INTEGER microseconds end-to-end:
+    # bins, ordering and the band pre-filter are exact long arithmetic, so a
+    # pair whose delta is exactly ftt can never round out of the pre-filter
+    # (the double seconds it replaced lost ~5e-7 s per endpoint). The exact
+    # ft selector downstream then applies the same cut on the raw feature.
     is_ts = isinstance(v_proj.schema[ftf].dataType, (T.TimestampType, T.TimestampNTZType))
     if is_ts:
         if dt_unit is None:
             raise ValueError("datetime ft_feature requires a dt_unit: (col, ftt, unit)")
-        ftt_num = float(ftt) * _UNIT_SECONDS[dt_unit]
-        val = F.unix_micros(F.col(ftf).cast("timestamp")) / F.lit(1e6)
+        ftt_num = int(round(float(ftt) * _UNIT_SECONDS[dt_unit] * 1e6))
+        val = F.unix_micros(F.col(ftf).cast("timestamp"))
+        # exact floor division for longs of any sign (pmod remainder is
+        # non-negative; the division is then exact in double)
+        def _bin_of(c):
+            return ((c - F.pmod(c, F.lit(ftt_num))) / F.lit(ftt_num)).cast("long")
     else:
         ftt_num = float(ftt)
         val = F.col(ftf).cast("double")
+
+        def _bin_of(c):
+            return F.floor(c / ftt_num)
 
     if ftt_num <= 0:
         raise ValueError("ft threshold must be > 0")
 
     src = v_proj.withColumn("_v", val).withColumn(
-        "_bin", F.explode(F.array(F.floor(F.col("_v") / ftt_num), F.floor(F.col("_v") / ftt_num) + 1))
+        "_bin", F.explode(F.array(_bin_of(F.col("_v")), _bin_of(F.col("_v")) + 1))
     )
-    dst = v_proj.withColumn("_v", val).withColumn("_bin", F.floor(F.col("_v") / ftt_num))
+    dst = v_proj.withColumn("_v", val).withColumn("_bin", _bin_of(F.col("_v")))
 
     s_side = src.select(
         *[F.col(k).alias(f"__k_{k}") for k in group_keys],

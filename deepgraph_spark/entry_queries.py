@@ -164,13 +164,22 @@ def q_cc_events(spark, sf_dir):
     )
 
 
+PR_ITERS = 20  # fixed superstep count so the unrolled SQL oracle is exact
+LPA_ITERS = 5
+
+
 def q_pagerank_events(spark, sf_dir):
+    """join mode — the 100 TB plan (one co-partitioned join + one dst
+    aggregation shuffle per superstep); fixed 20 supersteps so the DuckDB
+    power-iteration oracle computes the identical value."""
     from deepgraph_spark.algorithms import pagerank
 
     e = event_edges(spark, sf_dir)
     verts = _t(spark, sf_dir, "events").select(F.col("event_id").alias("id"))
-    ranks, _ = pagerank(e, vertices=verts, tol=1e-6, mode="blocks")
-    return ranks.select("id", F.round("rank", 9).alias("rank"))
+    ranks, _ = pagerank(e, vertices=verts, tol=0.0, max_iter=PR_ITERS, mode="join")
+    return ranks.select(
+        F.col("id").cast("long").alias("id"), F.round("rank", 9).alias("rank")
+    )
 
 
 def q_lpa_events(spark, sf_dir):
@@ -178,7 +187,10 @@ def q_lpa_events(spark, sf_dir):
 
     e = event_edges(spark, sf_dir)
     verts = _t(spark, sf_dir, "events").select(F.col("event_id").alias("id"))
-    return label_propagation(e, vertices=verts, max_iter=5)
+    out = label_propagation(e, vertices=verts, max_iter=LPA_ITERS)
+    return out.select(
+        F.col("id").cast("long").alias("id"), F.col("label").cast("long").alias("label")
+    )
 
 
 def q_sessionize_events(spark, sf_dir):
@@ -222,14 +234,15 @@ def q_ngram_jaccard_documents(spark, sf_dir):
 
 
 def q_embedding_neardup(spark, sf_dir):
+    """LSH candidate stage (hyperplane buckets, the 100 TB plan) + exact
+    cosine verify; the oracle is the exhaustive all-pairs cut — the gate
+    therefore also checks that LSH recall is 1.0 on this data."""
     from deepgraph_spark.pipeline import embedding_neardup_pairs
 
     pairs = embedding_neardup_pairs(
-        _t(spark, sf_dir, "embeddings"), group_cols=["label"], threshold=-2.0
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, method="lsh"
     )
-    return pairs.select("a", "b", F.round("cosine", 6).alias("cosine")).where(
-        F.col("cosine") >= 0.3
-    )
+    return pairs.select("a", "b", F.round("cosine", 6).alias("cosine"))
 
 
 def q_ann_topk_embeddings(spark, sf_dir):
@@ -275,23 +288,28 @@ def q_lang_id_documents(spark, sf_dir):
 
 
 def q_minhash_dedup_documents(spark, sf_dir):
+    """md5 hash family so the DuckDB oracle reproduces the banded-LSH
+    candidate set exactly (same minhash mins, same band keys)."""
     from deepgraph_spark.pipeline import minhash_lsh_dedup
 
-    pairs = minhash_lsh_dedup(_t(spark, sf_dir, "documents"), threshold=0.5)
+    pairs = minhash_lsh_dedup(
+        _t(spark, sf_dir, "documents"), threshold=0.5, hash_fn="md5"
+    )
     return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def q_simhash_documents(spark, sf_dir):
     from deepgraph_spark.pipeline import simhash_fingerprints
 
-    return simhash_fingerprints(_t(spark, sf_dir, "documents"))
+    sh = simhash_fingerprints(_t(spark, sf_dir, "documents"))
+    return sh.select(F.col("doc_id").cast("long").alias("doc_id"), "simhash")
 
 
 def q_doc_fingerprints(spark, sf_dir):
     from deepgraph_spark.pipeline.textstats import doc_fingerprints
 
     fp = doc_fingerprints(_t(spark, sf_dir, "documents"))
-    return fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fingerprints"))
+    return fp.select(F.col("doc_id").cast("long").alias("doc_id"), "fingerprint")
 
 
 # ---------------------------------------------------------------------------
@@ -325,11 +343,19 @@ ORACLES: dict[str, str] = {
         WHERE l_quantity BETWEEN 5.0 AND 30.0 AND l_discount BETWEEN 0.02 AND 0.08
     """,
     "binning_part": """
-        WITH mm AS (SELECT MIN(p_retailprice) lo, MAX(p_retailprice) hi FROM part)
-        SELECT CAST(CASE WHEN p_retailprice >= hi THEN 8
-                    ELSE FLOOR((p_retailprice - lo) / ((hi - lo) / 9)) END AS BIGINT) AS bin,
-               COUNT(*) AS n
-        FROM part, mm GROUP BY 1
+        -- np.digitize over linspace(min, max, 10): label = #edges <= x.
+        -- edge_j = j*step + lo (numpy linspace arithmetic shape), last = hi
+        WITH mm AS (SELECT MIN(p_retailprice) lo, MAX(p_retailprice) hi FROM part),
+        edges AS (
+            SELECT CASE WHEN j = 9 THEN hi ELSE j * ((hi - lo) / 9) + lo END AS e
+            FROM mm, range(10) r(j)
+        ),
+        lab AS (
+            SELECT p.p_partkey,
+                   CAST(SUM(CASE WHEN p.p_retailprice >= e.e THEN 1 ELSE 0 END) AS BIGINT) AS bin
+            FROM part p CROSS JOIN edges e GROUP BY p.p_partkey
+        )
+        SELECT bin, COUNT(*) AS n FROM lab GROUP BY bin
     """,
     "datetime_categories_events": """
         SELECT CAST(FLOOR(date_part('hour', ts) / 6) AS BIGINT) AS tod,
@@ -412,14 +438,14 @@ ORACLES: dict[str, str] = {
     """,
     "embedding_neardup": """
         WITH v AS (
-            SELECT vec_id, label, embedding::DOUBLE[] AS ve,
+            SELECT vec_id, embedding::DOUBLE[] AS ve,
                    list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS ss
             FROM embeddings
         )
         SELECT x.vec_id AS a, y.vec_id AS b,
                ROUND(list_dot_product(x.ve, y.ve) / (SQRT(x.ss) * SQRT(y.ss)), 6) AS cosine
-        FROM v x JOIN v y ON x.label = y.label AND x.vec_id < y.vec_id
-        WHERE ROUND(list_dot_product(x.ve, y.ve) / (SQRT(x.ss) * SQRT(y.ss)), 6) >= 0.3
+        FROM v x JOIN v y ON x.vec_id < y.vec_id
+        WHERE list_dot_product(x.ve, y.ve) / (SQRT(x.ss) * SQRT(y.ss)) >= 0.4
     """,
     "ann_topk_embeddings": """
         WITH v AS (
@@ -486,6 +512,183 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+def _pagerank_oracle_sql(iters: int = PR_ITERS, d: float = 0.85) -> str:
+    """Unrolled power iteration (one CTE pair per superstep) mirroring the
+    Spark plan expression-for-expression: w = 1.0/outdeg, dangling mass
+    redistributed uniformly, contrib coalesced to 0.0, identical literal
+    arithmetic shape so both engines produce the same doubles."""
+    parts = [
+        f"""
+        WITH e AS MATERIALIZED (SELECT s, t FROM ({EVENT_EDGES_SQL})),
+        verts AS MATERIALIZED (SELECT event_id AS id FROM events),
+        nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM verts),
+        deg AS MATERIALIZED (SELECT v.id, COUNT(e.s) AS outdeg
+                FROM verts v LEFT JOIN e ON e.s = v.id GROUP BY v.id),
+        r0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM verts)"""
+    ]
+    for k in range(iters):
+        parts.append(
+            f""",
+        d{k} AS MATERIALIZED (SELECT COALESCE(SUM(CASE WHEN deg.outdeg = 0 THEN r.rank END), 0.0) AS dng
+                 FROM r{k} r JOIN deg ON deg.id = r.id),
+        c{k} AS MATERIALIZED (SELECT e.t AS id, SUM((1.0 / deg.outdeg) * r.rank) AS contrib
+                 FROM e JOIN r{k} r ON r.id = e.s JOIN deg ON deg.id = e.s
+                 GROUP BY e.t),
+        r{k + 1} AS MATERIALIZED (SELECT v.id,
+                (1.0 - {d}) / (SELECT n FROM nn)
+                + {d} * ((SELECT dng FROM d{k}) / (SELECT n FROM nn))
+                + {d} * COALESCE(c.contrib, 0.0) AS rank
+            FROM verts v LEFT JOIN c{k} c ON c.id = v.id)"""
+        )
+    parts.append(
+        f"\n        SELECT CAST(id AS BIGINT) AS id, ROUND(rank, 9) AS rank FROM r{iters}"
+    )
+    return "".join(parts)
+
+
+def _lpa_oracle_sql(iters: int = LPA_ITERS) -> str:
+    """Unrolled synchronous LPA: per superstep each vertex takes the most
+    frequent neighbor label (ties -> smaller label); isolated vertices keep
+    their own. Fixed-point idempotence makes early Spark convergence safe."""
+    parts = [
+        f"""
+        WITH e AS MATERIALIZED (SELECT s, t FROM ({EVENT_EDGES_SQL})),
+        sym AS MATERIALIZED (SELECT s AS u, t AS v FROM e UNION SELECT t, s FROM e),
+        verts AS MATERIALIZED (SELECT event_id AS id FROM events),
+        l0 AS MATERIALIZED (SELECT id, id AS label FROM verts)"""
+    ]
+    for k in range(iters):
+        parts.append(
+            f""",
+        cnt{k} AS MATERIALIZED (SELECT s.u AS id, l.label, COUNT(*) AS c
+                   FROM sym s JOIN l{k} l ON l.id = s.v GROUP BY s.u, l.label),
+        b{k} AS MATERIALIZED (SELECT id, label FROM (
+                    SELECT id, label,
+                           ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, label ASC) AS rn
+                    FROM cnt{k}) WHERE rn = 1),
+        l{k + 1} AS MATERIALIZED (SELECT l.id, COALESCE(b.label, l.label) AS label
+                     FROM l{k} l LEFT JOIN b{k} b ON b.id = l.id)"""
+        )
+    parts.append(
+        f"\n        SELECT CAST(id AS BIGINT) AS id, CAST(label AS BIGINT) AS label FROM l{iters}"
+    )
+    return "".join(parts)
+
+
+ORACLES["pagerank_events"] = _pagerank_oracle_sql()
+ORACLES["lpa_events"] = _lpa_oracle_sql()
+
+
+def _minhash_oracle_sql(
+    shingle_n: int = 3, num_hashes: int = 32, bands: int = 8, threshold: float = 0.5
+) -> str:
+    """Full MinHash+LSH mirror: identical shingles, identical md5-based
+    minhash mins, identical band keys → identical candidate pairs → exact
+    Jaccard verify. (The oracle checks the LSH *algorithm*, not just recall.)"""
+    rpb = num_hashes // bands
+    h = "('0x' || substr(md5(concat('{i}|', shingle)), 1, 15))::BIGINT"
+    mins = ",\n               ".join(
+        f"MIN({h.format(i=i)}) AS h{i}" for i in range(num_hashes)
+    )
+    band_selects = "\n        UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, ".format(b=b)
+        + ", ".join(f"h{b * rpb + r} AS k{r}" for r in range(rpb))
+        + " FROM sig"
+        for b in range(bands)
+    )
+    key_eq = " AND ".join(f"l.k{r} = r.k{r}" for r in range(rpb))
+    return f"""
+        WITH d AS MATERIALIZED (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+        ),
+        s AS MATERIALIZED (
+            SELECT doc_id, unnest(list_distinct(
+                CASE WHEN len(toks) >= {shingle_n}
+                     THEN list_transform(range(len(toks) - {shingle_n - 1}),
+                          i -> array_to_string(list_slice(toks, i + 1, i + {shingle_n}), ' '))
+                     ELSE [array_to_string(toks, ' ')] END)) AS shingle
+            FROM d
+        ),
+        sig AS MATERIALIZED (
+            SELECT doc_id,
+               {mins}
+            FROM s GROUP BY doc_id
+        ),
+        buckets AS MATERIALIZED (
+        {band_selects}
+        ),
+        cand AS MATERIALIZED (
+            SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+            FROM buckets l JOIN buckets r
+              ON l.band = r.band AND {key_eq} AND l.doc_id < r.doc_id
+        ),
+        sz AS MATERIALIZED (SELECT doc_id, COUNT(*) AS sz FROM s GROUP BY doc_id),
+        inter AS MATERIALIZED (
+            SELECT c.a, c.b, COUNT(*) AS i
+            FROM cand c
+            JOIN s sa ON sa.doc_id = c.a
+            JOIN s sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+            GROUP BY c.a, c.b
+        )
+        SELECT i.a, i.b, ROUND(i.i / (za.sz + zb.sz - i.i), 6) AS jaccard
+        FROM inter i
+        JOIN sz za ON za.doc_id = i.a
+        JOIN sz zb ON zb.doc_id = i.b
+        WHERE i.i / (za.sz + zb.sz - i.i) >= {threshold}
+    """
+
+
+ORACLES["minhash_dedup_documents"] = _minhash_oracle_sql()
+
+# shared 60-bit hash (deepgraph_spark.pipeline.dedup.hash60): first 15 hex
+# chars of md5, parsed base-16 — byte-identical in both engines
+_HASH60_SQL = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+ORACLES["simhash_documents"] = f"""
+    WITH t AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents
+    ),
+    h AS (SELECT doc_id, {_HASH60_SQL.format(x='tok')} AS h FROM t),
+    v AS (
+        SELECT doc_id, r.bit,
+               SUM(CASE WHEN (h >> r.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM h, range(60) r(bit) GROUP BY doc_id, r.bit
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+    FROM v GROUP BY doc_id
+"""
+
+ORACLES["doc_fingerprints"] = f"""
+    WITH d AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= 4
+                    THEN list_transform(range(len(toks) - 3),
+                         j -> array_to_string(list_slice(toks, j + 1, j + 4), ' '))
+                    ELSE [array_to_string(toks, ' ')] END AS grams
+        FROM d
+    ),
+    e AS (
+        SELECT doc_id, len(grams) AS n_grams,
+               unnest(range(len(grams))) AS j, unnest(grams) AS gram
+        FROM g
+    ),
+    h AS (SELECT doc_id, n_grams, j, {_HASH60_SQL.format(x='gram')} AS gh FROM e),
+    w AS (
+        SELECT doc_id, n_grams, j,
+               MIN(gh) OVER (PARTITION BY doc_id ORDER BY j
+                             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fingerprint
+        FROM h
+    )
+    SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id, fingerprint
+    FROM w WHERE j <= n_grams - 4 OR (j = 0 AND n_grams < 4)
+"""
+
+
 QUERIES = {
     "edges_ft_events": q_edges_ft_events,
     "edges_allpairs_nation": q_edges_allpairs_nation,
@@ -499,8 +702,8 @@ QUERIES = {
     "cc_events": q_cc_events,
     "sessionize_events": q_sessionize_events,
     "top_components_events": q_top_components_events,
-    "pagerank_events": q_pagerank_events,  # rows-only (iterative)
-    "lpa_events": q_lpa_events,  # rows-only (iterative)
+    "pagerank_events": q_pagerank_events,
+    "lpa_events": q_lpa_events,
     "exact_dedup_documents": q_exact_dedup_documents,
     "ngram_jaccard_documents": q_ngram_jaccard_documents,
     "embedding_neardup": q_embedding_neardup,
@@ -508,7 +711,7 @@ QUERIES = {
     "token_stats_documents": q_token_stats_documents,
     "text_quality_documents": q_text_quality_documents,
     "lang_id_documents": q_lang_id_documents,
-    "minhash_dedup_documents": q_minhash_dedup_documents,  # rows-only (LSH)
-    "simhash_documents": q_simhash_documents,  # rows-only (custom hash)
-    "doc_fingerprints": q_doc_fingerprints,  # rows-only (custom hash)
+    "minhash_dedup_documents": q_minhash_dedup_documents,
+    "simhash_documents": q_simhash_documents,
+    "doc_fingerprints": q_doc_fingerprints,
 }

@@ -17,15 +17,27 @@ from pyspark.sql import functions as F
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One row per distinct text: keeper id (min) + copy count.
 
-    Grouping key is the text itself for exactness; at 100 TB scale pre-group
-    by ``xxhash64(text)`` first so the wide text column never shuffles twice
-    (two-level: hash-group, then within-group exact compare).
+    Two-level plan so the wide text column (KBs per row at corpus scale)
+    never rides the main shuffle: (1) aggregate on ``xxhash64(text)`` —
+    only (hash, id) moves; hash groups of size 1 are provably unique texts
+    and are emitted directly. (2) Only rows whose hash repeats (the
+    duplicate-suspect sliver, which also absorbs any hash collisions) are
+    re-read and exactly compared by text. Result is identical to a plain
+    ``GROUP BY text``.
     """
-    return (
-        docs.groupBy(F.col(text_col))
+    d = docs.select(F.col(id_col), F.col(text_col), F.xxhash64(text_col).alias("_h"))
+    counts = d.groupBy("_h").agg(
+        F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies")
+    )
+    singles = counts.where(F.col("n_copies") == 1).select(id_col, "n_copies")
+    dup_hashes = counts.where(F.col("n_copies") > 1).select("_h")
+    dups = (
+        d.join(F.broadcast(dup_hashes), "_h")
+        .groupBy("_h", text_col)
         .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
         .select(id_col, "n_copies")
     )
+    return singles.union(dups)
 
 
 def _shingles(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
@@ -54,37 +66,62 @@ def minhash_lsh_dedup(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.8,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash + banded LSH near-duplicate pairs with exact Jaccard verify.
 
-    Plan: shingle-explode → per-doc minhash signature (one ``min(xxhash64(
-    shingle, seed_i))`` per hash, computed in a single groupBy) → band hashes
-    → bucket self-join for candidates → exact Jaccard via shingle-set join.
-    Returns (a, b, jaccard) with a < b, jaccard >= threshold.
+    Plan: shingle-explode → per-doc minhash signature (one ``min(hash(
+    shingle, seed_i))`` per hash, computed in a single groupBy) → band bucket
+    self-join on the band's raw minhash values → exact Jaccard via
+    shingle-set join. Returns (a, b, jaccard) with a < b, jaccard >=
+    threshold.
+
+    ``hash_fn="xxhash64"`` (default) is the fast scale path;
+    ``hash_fn="md5"`` uses the 60-bit shared MD5 hash (:func:`hash60` over
+    ``"{seed}|{shingle}"``) so a DuckDB oracle reproduces the LSH candidate
+    set exactly — same algorithm, swappable hash family.
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     sh = _shingles(docs, text_col, id_col, shingle_n).persist()
 
+    if hash_fn == "xxhash64":
+        hash_i = [F.xxhash64("shingle", F.lit(i)) for i in range(num_hashes)]
+    elif hash_fn == "md5":
+        hash_i = [
+            hash60(F.concat_ws("|", F.lit(str(i)), F.col("shingle")))
+            for i in range(num_hashes)
+        ]
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     sig = sh.groupBy(id_col).agg(
-        *[F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+        *[F.min(hash_i[i]).alias(f"h{i}") for i in range(num_hashes)]
     )
-    band_cols = [
-        F.xxhash64(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)], F.lit(b)).alias(f"b{b}")
-        for b in range(bands)
-    ]
-    banded = sig.select(id_col, *band_cols)
-    buckets = banded.select(
+    # bucket key = (band, raw minhash values of the band) — no second-level
+    # hash, so the candidate set is reproducible by any engine
+    buckets = sig.select(
         id_col,
         F.explode(
-            F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"b{b}").alias("sig")) for b in range(bands)])
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        *[
+                            F.col(f"h{b * rows_per_band + r}").alias(f"k{r}")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                    for b in range(bands)
+                ]
+            )
         ).alias("bk"),
-    ).select(id_col, "bk.band", "bk.sig")
+    ).select(id_col, "bk.*")
 
-    left = buckets.select(F.col(id_col).alias("a"), "band", "sig")
-    right = buckets.select(F.col(id_col).alias("b"), "band", "sig")
+    key_cols = ["band"] + [f"k{r}" for r in range(rows_per_band)]
+    left = buckets.select(F.col(id_col).alias("a"), *key_cols)
+    right = buckets.select(F.col(id_col).alias("b"), *key_cols)
     cands = (
-        left.join(right, ["band", "sig"])
+        left.join(right, key_cols)
         .where(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
@@ -112,38 +149,42 @@ def minhash_lsh_dedup(
     return out
 
 
+def hash60(col) -> F.Column:
+    """Deterministic 60-bit hash shared with the DuckDB oracle: first 15 hex
+    chars of MD5, parsed base-16. All-JVM (md5 + conv codegen); DuckDB twin is
+    ``('0x' || substr(md5(x), 1, 15))::BIGINT``. 60 bits keeps the value
+    inside a signed long on both engines (no ANSI overflow)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def simhash_fingerprints(
-    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", bits: int = 60
 ) -> DataFrame:
-    """64-bit SimHash per document (token-hash bit-vote), vectorized numpy
-    inside one Arrow stage. Returns (id, simhash long)."""
+    """SimHash per document: per-token 60-bit hash (with multiplicity), one
+    ±1 vote per bit position, bit set where the vote sum is positive.
 
-    def batch(it):
-        for pdf in it:
-            out_ids = pdf[id_col].values
-            sims = np.zeros(len(pdf), dtype=np.uint64)
-            for row_i, text in enumerate(pdf[text_col].values):
-                toks = str(text).split()
-                if not toks:
-                    continue
-                # deterministic 64-bit token hashes (FNV-1a, vectorized-ish)
-                hs = np.array([_fnv1a64(t) for t in toks], dtype=np.uint64)
-                bitsm = ((hs[:, None] >> np.arange(bits, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
-                votes = (2 * bitsm - 1).sum(axis=0)
-                sims[row_i] = np.uint64(
-                    sum(np.uint64(1) << np.uint64(i) for i, v in enumerate(votes) if v > 0)
-                )
-            yield pd.DataFrame({id_col: out_ids, "simhash": sims.astype(np.int64)})
-
-    return docs.select(id_col, text_col).mapInPandas(batch, f"{id_col} long, simhash long")
-
-
-def _fnv1a64(s: str) -> int:
-    h = 0xCBF29CE484222325
-    for ch in s.encode("utf-8"):
-        h ^= ch
-        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
+    Entirely native Columns — explode → md5-hash → one conditional-sum
+    aggregate per bit (a single groupBy pass, whole-stage codegen; the
+    map-side partial aggregation means only ``bits`` longs per doc shuffle).
+    Returns (id, simhash long). Mirrors the SQL oracle bit-for-bit.
+    """
+    assert bits <= 60
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    t = docs.select(F.col(id_col), F.explode(toks).alias("tok"))
+    t = t.select(id_col, hash60(F.col("tok")).alias("h"))
+    votes = t.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(bits)
+        ]
+    )
+    simhash = None
+    for i in range(bits):
+        term = F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        simhash = term if simhash is None else simhash + term
+    return votes.select(F.col(id_col), simhash.alias("simhash"))
 
 
 def ngram_jaccard_pairs(
@@ -185,14 +226,60 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     group_cols: list[str] | None = None,
     threshold: float = 0.95,
+    method: str = "lsh",
+    n_planes: int = 3,
+    n_tables: int = 24,
+    seed: int = 7,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (a < b, cos >= threshold) within
-    optional blocking columns — native Column math (zip_with + aggregate),
-    stays in whole-stage codegen."""
+    """Embedding-cosine near-duplicate pairs (a < b, cos >= threshold).
+
+    ``method="lsh"`` (default, the scale path): random-hyperplane signatures
+    over ``n_tables`` tables generate candidates via a bucket self-join (the
+    same candidate→verify shape as :func:`minhash_lsh_dedup`); the exact
+    cosine verify then applies the threshold. Buckets carry only (id, table,
+    bucket) — the vectors join in once, at the verify stage, so no vector is
+    duplicated per table in the shuffle. Approximate: recall is governed by
+    (n_planes, n_tables) vs the threshold angle (1 - (1 - p^planes)^tables,
+    p = 1 - acos(cos)/π); the defaults give >0.999 per-pair recall at 0.4.
+
+    ``method="exact"``: all-pairs within ``group_cols`` blocks — native
+    Column math (zip_with + aggregate), whole-stage codegen; quadratic per
+    block, test/small-block use only.
+    """
     group_cols = group_cols or []
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    sumsq = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
-    base = emb.select(*group_cols, F.col(id_col), v.alias("rv"), sumsq.alias("ss"))
+    if method == "lsh":
+        base = _emb_base(emb, vec_col, id_col, group_cols)
+        buckets = _hyperplane_buckets(
+            emb, vec_col=vec_col, id_col=id_col, n_planes=n_planes,
+            n_tables=n_tables, seed=seed,
+        )
+        left = buckets.select(F.col("vid").alias("a"), "table", "bucket")
+        right = buckets.select(F.col("vid").alias("b"), "table", "bucket")
+        cands = (
+            left.join(right, ["table", "bucket"])
+            .where(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct()
+        )
+        la = base.select(
+            *[F.col(c).alias(f"{c}__a") for c in group_cols],
+            F.col(id_col).alias("a"), F.col("rv").alias("va"), F.col("ss").alias("sa"),
+        )
+        lb = base.select(
+            *[F.col(c).alias(f"{c}__b") for c in group_cols],
+            F.col(id_col).alias("b"), F.col("rv").alias("vb"), F.col("ss").alias("sb"),
+        )
+        pairs = cands.join(la, "a").join(lb, "b")
+        for c in group_cols:
+            pairs = pairs.where(F.col(f"{c}__a") == F.col(f"{c}__b"))
+        dot = F.aggregate(
+            F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+        cos = dot / (F.sqrt("sa") * F.sqrt("sb"))
+        return pairs.select("a", "b", cos.alias("cosine")).where(
+            F.col("cosine") >= threshold
+        )
+    base = _emb_base(emb, vec_col, id_col, group_cols)
     left = base.select(
         *group_cols, F.col(id_col).alias("a"), F.col("rv").alias("va"), F.col("ss").alias("sa")
     )
@@ -212,4 +299,50 @@ def embedding_neardup_pairs(
         left.join(right, cond)
         .select("a", "b", cos.alias("cosine"))
         .where(F.col("cosine") >= threshold)
+    )
+
+
+def _emb_base(emb: DataFrame, vec_col: str, id_col: str, group_cols: list[str]) -> DataFrame:
+    """(group_cols..., id, rv double[], ss) — raw vectors cast to double with
+    their squared norm, shared by both near-dup verify paths."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    sumsq = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    return emb.select(*group_cols, F.col(id_col), v.alias("rv"), sumsq.alias("ss"))
+
+
+def _hyperplane_buckets(
+    emb: DataFrame,
+    *,
+    vec_col: str,
+    id_col: str,
+    n_planes: int,
+    n_tables: int,
+    seed: int,
+) -> DataFrame:
+    """Random-hyperplane LSH signatures: one (id, table, bucket) row per
+    table — narrow (no vector payload), one vectorized GEMM per Arrow batch
+    against the broadcast plane matrix."""
+    first = emb.select(vec_col).first()
+    dim = len(first[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+    bp = emb.sparkSession.sparkContext.broadcast(planes)
+
+    def bucketize(it):
+        pl = bp.value
+        for pdf in it:
+            m = np.array([np.asarray(x, dtype=np.float64) for x in pdf[vec_col].values])
+            out = []
+            for t in range(pl.shape[0]):
+                bits = (m @ pl[t].T) > 0  # sign is norm-invariant
+                sig = bits @ (1 << np.arange(pl.shape[1]))
+                out.append(
+                    pd.DataFrame(
+                        {"vid": pdf[id_col].values, "table": t, "bucket": sig.astype(np.int64)}
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        bucketize, "vid long, table int, bucket long"
     )

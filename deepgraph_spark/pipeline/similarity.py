@@ -23,15 +23,28 @@ def ann_topk_bruteforce(
     id_col: str = "vec_id",
     k: int = 10,
     exclude_self: bool = True,
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, neighbor_id, cosine, rank).
 
     Ties broken by neighbor id (deterministic under any partitioning).
     ``queries`` defaults to the corpus itself (all-pairs top-k).
+
+    The query block is collected to the driver and broadcast (that is the
+    design: small Q × streamed corpus GEMM); ``max_queries`` makes misuse on
+    an unbounded query side fail loudly instead of OOMing the driver — use
+    :func:`ann_topk_lsh` for large-Q workloads.
     """
     spark = corpus.sparkSession
     if queries is None:
         queries = corpus
+    n_q = queries.count()
+    if n_q > max_queries:
+        raise ValueError(
+            f"ann_topk_bruteforce collects the query side to the driver; got "
+            f"{n_q} queries > max_queries={max_queries}. Use ann_topk_lsh or "
+            "raise max_queries explicitly."
+        )
     qpd = queries.select(id_col, vec_col).toPandas()
     q_ids = qpd[id_col].values
     qm = np.array([np.asarray(x, dtype=np.float64) for x in qpd[vec_col].values])

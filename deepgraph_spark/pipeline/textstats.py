@@ -82,36 +82,46 @@ def doc_fingerprints(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
+    k: int = 4,
     window: int = 4,
 ) -> DataFrame:
-    """Winnowing-style fingerprint: rolling polynomial (Karp-Rabin) hash over
-    tokens, keep the min hash of each sliding window, distinct — the classic
-    document-fingerprint sketch. Vectorized numpy per Arrow batch.
-    Returns (id, fingerprint long) exploded rows."""
+    """Winnowing document fingerprints (Schleimer et al., MOSS): hash every
+    token ``k``-gram, then keep the minimum hash of each sliding window of
+    ``window`` consecutive k-grams, distinct per document.
 
-    # NB: python hash() is salted per-process for str — FNV keeps this
-    # deterministic across executors/restarts
-    def batch_det(it):
-        from deepgraph_spark.pipeline.dedup import _fnv1a64
+    All-native plan: sequence/transform builds the k-grams (no Python),
+    :func:`deepgraph_spark.pipeline.dedup.hash60` hashes them JVM-side, and
+    the window-min is ``min() OVER (PARTITION BY doc ORDER BY pos ROWS
+    BETWEEN CURRENT ROW AND window-1 FOLLOWING)`` — a partitioned window, so
+    the operator distributes by document. Documents shorter than ``k`` tokens
+    contribute one whole-text gram. Returns (id, fingerprint long) rows.
+    """
+    from pyspark.sql import Window as W
 
-        B = np.uint64(1099511628211)
-        for pdf in it:
-            ids, fps = [], []
-            for did, text in zip(pdf[id_col].values, pdf[text_col].values):
-                toks = str(text).split()
-                if not toks:
-                    continue
-                th = np.array([np.uint64(_fnv1a64(t)) for t in toks], dtype=np.uint64)
-                n = len(th)
-                w = min(window, n)
-                roll = th[: n - w + 1].copy()
-                for j in range(1, w):
-                    roll = roll * B + th[j : n - w + 1 + j]
-                sel = np.unique(roll)
-                ids.extend([did] * len(sel))
-                fps.extend(sel.astype(np.int64))
-            yield pd.DataFrame({id_col: ids, "fingerprint": fps})
+    from deepgraph_spark.pipeline.dedup import hash60
 
-    return docs.select(id_col, text_col).mapInPandas(
-        batch_det, f"{id_col} long, fingerprint long"
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda j: F.concat_ws(" ", F.slice(toks, j + 1, k)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    g = docs.select(
+        F.col(id_col),
+        F.size(grams).alias("n_grams"),
+        F.posexplode(grams).alias("j", "gram"),
+    )
+    h = g.select(id_col, "n_grams", "j", hash60(F.col("gram")).alias("gh"))
+    w = W.partitionBy(id_col).orderBy("j").rowsBetween(0, window - 1)
+    # full windows only (j <= n_grams - window); short docs -> one window
+    keep = (F.col("j") <= F.col("n_grams") - window) | (
+        (F.col("j") == 0) & (F.col("n_grams") < window)
+    )
+    return (
+        h.select(F.col(id_col), "n_grams", "j", F.min("gh").over(w).alias("fingerprint"))
+        .where(keep)
+        .select(id_col, "fingerprint")
+        .distinct()
     )

@@ -160,3 +160,33 @@ def test_triangles_parity(spark, name, n, m, seed):
     got = np.zeros(n, dtype=np.int64)
     got[per_v.index.values] = per_v.values
     assert (got == expected).all()
+
+
+@pytest.mark.parametrize("name,n,m,seed", GRAPHS[:2])
+def test_triangles_wedge_reduction(spark, name, n, m, seed):
+    """Degree-ordered orientation must not enumerate more candidate wedges
+    than naive id-orientation (and strictly fewer on skewed graphs)."""
+    from deepgraph_spark.algorithms.triangles import wedge_count
+
+    edges = random_digraph(n, m, seed)
+    e, _ = _dfs(spark, edges, n)
+    w_deg = wedge_count(e, degree_ordered=True)
+    w_id = wedge_count(e, degree_ordered=False)
+    assert w_deg <= w_id
+
+
+def test_triangles_skewed_hub(spark):
+    """Star + one closing edge: hub of degree d yields C(d,2) wedges under
+    id-orientation (hub id 0) but only O(d) under degree ordering."""
+    import pandas as pd
+
+    from deepgraph_spark.algorithms.triangles import triangles_df, wedge_count
+
+    d = 50
+    rows = [(0, i) for i in range(1, d + 1)] + [(1, 2)]
+    e = spark.createDataFrame(pd.DataFrame(rows, columns=["s", "t"]))
+    assert triangles_df(e).collect() == [(0, 1, 2)] or [
+        tuple(r) for r in triangles_df(e).collect()
+    ] == [(0, 1, 2)]
+    assert wedge_count(e, degree_ordered=False) == d * (d - 1) // 2
+    assert wedge_count(e, degree_ordered=True) < d

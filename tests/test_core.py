@@ -103,6 +103,20 @@ def test_supernode_labels(g, spark):
     assert got.color_label.tolist() == [1, 1, 0, 1, 2]
 
 
+def test_superedge_labels(spark):
+    """Edge-side twin (ref deepgraph.py:137-146): dense labels over edge
+    relation groups, sorted-key order — 2-relation fixture."""
+    e = spark.createDataFrame(
+        pd.DataFrame(
+            {"s": [0, 0, 1, 2], "t": [1, 2, 2, 3], "rel": ["x", "y", "x", "x"]}
+        )
+    )
+    gf = DeepGraphFrame(spark.createDataFrame(V5), e, index_col="id")
+    gf.superedge_labels_by("rel_label", "rel")
+    got = gf.e.toPandas().sort_values(["s", "t"])
+    assert got.rel_label.tolist() == [0, 1, 0, 0]  # x=0, y=1
+
+
 def test_filters_cascade(g, spark):
     gf = DeepGraphFrame(spark.createDataFrame(V5), index_col="id")
     gf.create_edges_ft(("time", 5), [some_relations])
@@ -142,14 +156,50 @@ def test_append_cp(spark):
 def test_binning(spark):
     v = spark.createDataFrame(pd.DataFrame({"id": range(6), "val": [0.0, 1, 2, 3, 4, 5]}))
     gf = DeepGraphFrame(v, index_col="id")
-    gf.append_binning_labels_v("val", "bin", bins=6)  # 5 buckets of width 1
+    edges = gf.append_binning_labels_v("val", "bin", bins=6, return_bin_edges=True)
     got = gf.v.toPandas().sort_values("id").bin.tolist()
-    assert got == [0, 1, 2, 3, 4, 4]  # right edge falls into last bucket
-    # numpy digitize parity
-    edges = np.linspace(0, 5, 6)
-    exp = np.digitize([0, 1, 2, 3, 4, 5], edges) - 1
-    exp[exp == 5] = 4
-    assert got == exp.tolist()
+    # np.digitize parity (reference semantics: bins = #edges, labels 1..bins)
+    np.testing.assert_allclose(edges, np.linspace(0, 5, 6))
+    exp = np.digitize([0, 1, 2, 3, 4, 5], edges)
+    assert got == exp.tolist() == [1, 2, 3, 4, 5, 6]
+
+
+def test_binning_reference_example(spark):
+    """The reference's own docstring example (deepgraph.py:2377-2440):
+    v.time = [1, 2, 12, 105, 899] under linear, log-per-magnitude, and
+    floored-log binning — labels and bin edges must match exactly."""
+    v = spark.createDataFrame(pd.DataFrame({"id": range(5), "time": [1, 2, 12, 105, 899]}))
+    gf = DeepGraphFrame(v, index_col="id")
+
+    edges = gf.append_binning_labels_v("time", "time_l", return_bin_edges=True)
+    assert gf.v.toPandas().sort_values("id").time_l.tolist() == [1, 1, 1, 2, 10]
+    np.testing.assert_allclose(edges[:2], [1.0, 100.77777778])
+    assert edges[-1] == 899.0 and len(edges) == 10
+
+    gf = DeepGraphFrame(v, index_col="id")
+    edges = gf.append_binning_labels_v(
+        "time", "time_l", bins=5, log_bins=True, return_bin_edges=True
+    )
+    assert gf.v.toPandas().sort_values("id").time_l.tolist() == [1, 2, 6, 10, 15]
+    assert len(edges) == 15
+
+    gf = DeepGraphFrame(v, index_col="id")
+    edges = gf.append_binning_labels_v(
+        "time", "time_l", bins=5, log_bins=True, floor=True, return_bin_edges=True
+    )
+    assert gf.v.toPandas().sort_values("id").time_l.tolist() == [1, 2, 5, 9, 14]
+    np.testing.assert_allclose(
+        edges, [1, 2, 4, 6, 11, 18, 29, 48, 79, 128, 209, 340, 553, 899]
+    )
+
+
+def test_binning_sequence_edges(spark):
+    v = spark.createDataFrame(pd.DataFrame({"id": range(5), "val": [1.0, 3.0, 5.5, 9.0, 20.0]}))
+    gf = DeepGraphFrame(v, index_col="id")
+    seq = [0.0, 2.0, 6.0, 20.0]
+    gf.append_binning_labels_v("val", "bin", bins=seq)
+    got = gf.v.toPandas().sort_values("id").bin.tolist()
+    assert got == np.digitize([1.0, 3.0, 5.5, 9.0, 20.0], seq).tolist()
 
 
 def test_datetime_categories(spark):

@@ -318,9 +318,11 @@ def test_log_binning(spark):
 
     pdf = pd.DataFrame({"id": range(5), "val": [1.0, 10.0, 100.0, 1000.0, 10000.0]})
     g = DeepGraphFrame(spark.createDataFrame(pdf), index_col="id")
-    g.append_binning_labels_v("val", "bin", bins=5, log_bins=True)
+    edges = g.append_binning_labels_v("val", "bin", bins=5, log_bins=True, return_bin_edges=True)
     got = g.v.toPandas().sort_values("id").bin.tolist()
-    assert got == [0, 1, 2, 3, 3]  # log10 in [0,4], 4 buckets, right edge in last
+    # reference log-bins-per-magnitude: ceil(4 magnitudes * 5) = 20 edges
+    np.testing.assert_allclose(edges, np.logspace(0, 4, 20))
+    assert got == np.digitize(pdf["val"].values, edges).tolist()
 
 
 def test_duplicate_outputs_rejected(spark, v8):

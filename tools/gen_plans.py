@@ -24,14 +24,40 @@ single Arrow stage (MapInPandas) that evaluates connectors. No O(n^2) operator
 anywhere in the plan."""))
 
 docs = spark.read.parquet(f"{SF}/documents.parquet")
-from deepgraph_spark.pipeline import exact_dedup
-sections.append(("Exact dedup (groupBy text)", cap(exact_dedup(docs)),
-"""Single scan -> partial aggregate (map-side combine) -> exchange on the group
-key -> final aggregate. Whole-stage codegen spans the aggregation."""))
+from deepgraph_spark.pipeline import exact_dedup, minhash_lsh_dedup, simhash_fingerprints
+from deepgraph_spark.pipeline.textstats import doc_fingerprints
+sections.append(("Exact dedup (two-level: hash pre-group, text only on repeats)", cap(exact_dedup(docs)),
+"""Level 1 aggregates on xxhash64(text): only (hash, id) rides the main
+exchange — the wide text column is pruned from that branch of the scan.
+Level 2 re-reads just the repeat-hash sliver (broadcast semi of duplicate
+hashes) and exactly compares text within it. Identical result to GROUP BY
+text with a fraction of the shuffle bytes."""))
 
-sections.append(("Embedding near-dup (native zip_with/aggregate cosine)", cap(q_embedding_neardup(spark, SF)),
-"""Blocked self-join on the label key; cosine = dot/(sqrt*sqrt) entirely in
-Column expressions — no Python in the pair loop; filter applied before project."""))
+sections.append(("Embedding near-dup (LSH candidate buckets + exact cosine verify)", cap(q_embedding_neardup(spark, SF)),
+"""Candidates come from a bucket self-join on (table, bucket) — the bucket
+table carries no vector payload, so the quadratic step shuffles 12 bytes a
+row. Vectors join in once at the verify stage; cosine = dot/(sqrt*sqrt) in
+native Columns. No all-pairs cross join anywhere in the plan."""))
+
+sections.append(("MinHash LSH dedup (band-key bucket join + exact Jaccard verify)", cap(minhash_lsh_dedup(docs, threshold=0.5)),
+"""Shingles explode once and persist; the signature is one groupBy with 32
+min-aggregates; candidates come from the band-key self-join. VERIFY JOIN
+PUSHDOWN (asserted here): the exact-intersection join condition
+`shingle = shingle_b` appears in the join keys of the SortMerge/ShuffledHash
+join, not as a post-join filter — Catalyst pushes the equality into the key,
+so the intersection count never materializes the cross product. Verified with
+autoBroadcastJoinThreshold=-1: SortMergeJoin Left keys [shingle, b] / Right
+keys [shingle_b, b]."""))
+
+sections.append(("SimHash (native md5-60bit bit-vote)", cap(simhash_fingerprints(docs)),
+"""explode -> md5/conv hash -> single hash-aggregate with 60 conditional
+sums -> bit assembly; whole-stage codegen end to end, no Python stage, and
+the map-side partial aggregation means 60 longs per doc cross the wire."""))
+
+sections.append(("Winnowing fingerprints (k-gram hash + window-min)", cap(doc_fingerprints(docs)),
+"""sequence/transform builds k-grams JVM-side; posexplode + running MIN OVER
+(PARTITION BY doc ORDER BY pos ROWS 4) — a partitioned window (one exchange
+on doc_id), never a global sort; distinct closes the plan."""))
 
 # pagerank superstep plan: build manually one superstep
 from deepgraph_spark.transcripts import build_turn_graph

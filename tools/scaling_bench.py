@@ -27,6 +27,15 @@ TAU = float(sys.argv[2]) if len(sys.argv) > 2 else 240.0
 MODE = sys.argv[3] if len(sys.argv) > 3 else "join"
 LEVELS = [8, 32]
 
+# Executor-JVM methodology: SCALING_MASTER="local-cluster[{execs},8,16384]"
+# gives each 8-core executor its own JVM (own heap, GC, shuffle tracker) so
+# the N -> 4N comparison is 1 executor vs 4 executors — the real cluster
+# story — instead of one shared 32-thread JVM. {cores} / {execs} are
+# substituted per level (execs = cores/8).
+MASTER_TMPL = os.environ.get("SCALING_MASTER", "local[{cores}]")
+CHECK_EVERY = int(os.environ.get("SCALING_CHECK_EVERY", "1"))
+EXEC_MEM = os.environ.get("SCALING_EXEC_MEM", "12g")
+
 
 def run_at(cpus: int) -> dict:
     from pyspark.sql import functions as F
@@ -36,21 +45,27 @@ def run_at(cpus: int) -> dict:
     from deepgraph_spark.session import get_spark
     from deepgraph_spark.transcripts import build_turn_graph
 
+    master = MASTER_TMPL.format(cores=cpus, execs=max(1, cpus // 8))
+    extra_conf = {
+        "spark.sql.join.preferSortMergeJoin": "false",
+        # the superstep loop is statically co-partitioned; AQE's
+        # per-exchange replanning round trips are pure overhead there
+        "spark.sql.adaptive.enabled": os.environ.get("SCALING_AQE", "false"),
+        # shuffle + local-checkpoint files through tmpfs: removes the
+        # single local disk from the superstep loop entirely
+        "spark.local.dir": os.environ.get("SCALING_LOCAL_DIR", "/dev/shm/spark-local"),
+    }
+    if master.startswith("local-cluster"):
+        # separate executor JVMs: ship the package path + size the executors
+        extra_conf["spark.executorEnv.PYTHONPATH"] = ROOT
+        extra_conf["spark.executor.memory"] = EXEC_MEM
     spark = get_spark(
         app_name=f"scaling_{cpus}",
-        master=f"local[{cpus}]",
+        master=master,
         shuffle_partitions=int(os.environ.get("SCALING_SHUFFLE_MULT", "1")) * cpus,
         # shuffled-hash join beats sort-merge for the per-superstep
         # rank-contribution join (no 38M-row sort per iteration)
-        extra_conf={
-            "spark.sql.join.preferSortMergeJoin": "false",
-            # the superstep loop is statically co-partitioned; AQE's
-            # per-exchange replanning round trips are pure overhead there
-            "spark.sql.adaptive.enabled": os.environ.get("SCALING_AQE", "false"),
-            # shuffle + local-checkpoint files through tmpfs: removes the
-            # single local disk from the superstep loop entirely
-            "spark.local.dir": os.environ.get("SCALING_LOCAL_DIR", "/dev/shm/spark-local"),
-        },
+        extra_conf=extra_conf,
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -64,9 +79,12 @@ def run_at(cpus: int) -> dict:
     build_sec = time.time() - t0
 
     t0 = time.time()
-    _, hist = pagerank(edges, vertices=g.v.select("id"), tol=1e-6, mode=MODE, max_iter=100)
+    _, hist = pagerank(
+        edges, vertices=g.v.select("id"), tol=1e-6, mode=MODE, max_iter=100,
+        check_every=CHECK_EVERY,
+    )
     pr_sec = time.time() - t0
-    iters = len(hist)
+    iters = sum(h.get("supersteps", 1) for h in hist)
 
     spark.stop()
     edges_processed = m * iters
@@ -90,11 +108,13 @@ def main():
     pipe_eff = (lo["pipeline_sec"] / hi["pipeline_sec"]) / ratio
     out = {
         "job": f"transcripts({N_TURNS} turns, tau={TAU}s) -> edges -> pagerank@1e-6 ({MODE})",
+        "master": MASTER_TMPL,
+        "check_every": CHECK_EVERY,
         "levels": results,
         "pagerank_scaling_efficiency": round(pr_eff, 3),
         "pipeline_scaling_efficiency": round(pipe_eff, 3),
     }
-    with open(os.path.join(ROOT, "BENCH_SCALING.json"), "w") as f:
+    with open(os.environ.get("SCALING_OUT", os.path.join(ROOT, "BENCH_SCALING.json")), "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out))
 
