@@ -127,6 +127,19 @@ def main():
     _ = balls_ft(vb, 1000).count()
     queries["ref_ft_1168"] = time.time() - t0  # ref: 0.167s
 
+    # crossover point: 100k nodes is ~5.0e9 candidate pairs all-pairs — the
+    # band join examines only the ~10M in-band pairs (linear plan). The
+    # extrapolated all-pairs cost at the measured all-pairs rate makes the
+    # fast-track advantage explicit at the scale where it matters (the
+    # reference's published 3.3x at 1,168 nodes is overhead-dominated here).
+    vb_big = make_balls(spark, 100_000, seed=2).persist()
+    vb_big.count()
+    t0 = time.time()
+    n_ft_pairs = balls_ft(vb_big, 1000).count()
+    ft_100k_sec = time.time() - t0
+    queries["ref_ft_100k"] = ft_100k_sec
+    vb_big.unpersist()
+
     vf = make_features(spark, 5000, 100).persist()
     vf.count()
     t0 = time.time()
@@ -155,6 +168,15 @@ def main():
             "ref_pairwise_corr_pairs_per_sec": 880000,
             "ref_allpairs_1168_sec": 0.557,
             "ref_ft_1168_sec": 0.167,
+        },
+        "ft_crossover_100k": {
+            "band_pairs": n_ft_pairs,
+            "band_sec": round(ft_100k_sec, 3),
+            "allpairs_candidates": 100_000 * 99_999 // 2,
+            # extrapolated from this run's measured all-pairs rate at 1,168
+            "allpairs_extrapolated_sec": round(
+                (100_000 * 99_999 / 2) / (681_528 / queries["ref_allpairs_1168"]), 1
+            ),
         },
     }
     print(json.dumps(out))

@@ -21,6 +21,14 @@ Two physical strategies, selected by ``mode``:
   dst aggregation is map-side-complete with NO exchange — per-superstep data
   movement is just the broadcast. CPU-bound → scales with cores where join
   mode is bound by per-superstep shuffle I/O.
+* ``"coloc"`` — destination-local (vertex-cut flavored) layout: edges are
+  pinned to dst-range partitions once; a static ``needs = distinct (p, src)``
+  table drives a per-superstep replication join, so the bulk shuffle per
+  superstep is the *rank* table (n·R rows, R = mean src replication — ≈1-2
+  when ids correlate with graph locality, e.g. time-banded transcript turns)
+  instead of the m-row contribution stream, and the dst aggregation finishes
+  inside the p-partitions with no exchange. The 100 TB path for m >> n
+  graphs with locality-friendly ids.
 * ``"blocks"`` — per-partition CSR SpMV accelerator for graphs whose rank
   vector fits in executor memory (≲10^8 vertices): the rank vector is
   broadcast as a dense numpy array keyed by dense vertex position and each
@@ -98,10 +106,21 @@ def pagerank(
         .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w"))
     )
     # join mode co-locates the contribution join (partition by src);
-    # broadcast mode makes the dst aggregation exchange-free (partition by dst)
-    part_key = "dst" if mode == "broadcast" else "src"
-    edges_w = edges_w.repartition(num_partitions, part_key).persist()
-    edges_w.count()  # materialize once
+    # broadcast mode makes the dst aggregation exchange-free (partition by dst);
+    # coloc mode builds its own dst-range layout below (skip this persist)
+    if mode != "coloc":
+        part_key = "dst" if mode == "broadcast" else "src"
+        # in-partition (src, dst) sort: consecutive probe hits on the same
+        # src rank entry and near-sorted dst keys into the partial aggregate
+        # — sequential cache access in the superstep's two hash structures
+        # (on graphs whose ids correlate with locality, e.g. banded
+        # transcripts, dst is nearly sorted too). One-time cost at build.
+        edges_w = (
+            edges_w.repartition(num_partitions, part_key)
+            .sortWithinPartitions("src", "dst")
+            .persist()
+        )
+        edges_w.count()  # materialize once
 
     ckpt = SuperstepCheckpoint(spark, checkpoint_dir, job_id)
     start_iter = 0
@@ -122,20 +141,66 @@ def pagerank(
             spark, verts_deg, edges_w, ranks, n, damping, tol, max_iter, ckpt, start_iter
         )
 
+    coloc_e_p = coloc_needs = None
+    if mode == "coloc":
+        # Destination-local layout (vertex-cut flavored): edges live in fixed
+        # dst-range partitions `p`; the static `needs` table records which
+        # (p, src) rank each partition must receive. Per superstep the RANK
+        # table (n·R rows, R = src replication ≈ 1-2 on locality-friendly
+        # graphs like time-banded transcripts) is what shuffles — not the
+        # m-row contribution stream — and the dst aggregation completes
+        # inside the p-partitions with no exchange (groupBy keys contain p).
+        ids_mx = verts_deg.agg(F.max("id").alias("mx")).collect()[0]["mx"]
+        stride = int(ids_mx) // num_partitions + 1
+        p_of = ((F.col("dst") - F.pmod(F.col("dst"), F.lit(stride))) / F.lit(stride)).cast("int")
+        coloc_e_p = (
+            edges_w.withColumn("p", p_of)
+            .repartition(num_partitions, "p")
+            .persist()
+        )
+        coloc_e_p.count()
+        coloc_needs = (
+            coloc_e_p.select("p", "src")
+            .distinct()
+            .repartition(num_partitions, "src")
+            .persist()
+        )
+        coloc_needs.count()
+
     # One Spark action per `check_every` supersteps: intermediate supersteps
     # chain lazily (dangling mass enters the plan as a broadcast 1-row cross
     # join, so no scalar collect is needed mid-chain); the combined
     # materialize + metrics aggregation at each check point amortizes the
     # fixed per-action cost — the lever that matters when per-superstep
     # overhead (shuffle spin-up, scheduling, broadcast build) rivals compute.
-    def one_superstep(ranks_df: DataFrame, dangling_col_df: DataFrame) -> DataFrame:
+    # `dangling` may instead be a Python float (the check_every=1 fast path
+    # below): the previous checkpoint's observed metrics already carry the
+    # dangling mass, so the superstep skips the 2-stage in-plan aggregation.
+    def one_superstep(ranks_df: DataFrame, dangling) -> DataFrame:
         rank_side = ranks_df.select(F.col("id").alias("src"), "rank")
         if mode == "broadcast":
             rank_side = F.broadcast(rank_side)
-        contrib = edges_w.join(rank_side, "src").select(
-            "src", "dst", (F.col("w") * F.col("rank")).alias("c")
-        )
-        if salt and salt > 1:
+        if mode == "coloc":
+            # co-partitioned (src) join replicates ranks into their consumer
+            # partitions; the explicit repartition on p is the superstep's
+            # only bulk shuffle (n·R rows, not m)
+            rep = coloc_needs.join(rank_side, "src").repartition(num_partitions, "p")
+            contrib = coloc_e_p.join(rep, ["p", "src"]).select(
+                "p", "src", "dst", (F.col("w") * F.col("rank")).alias("c")
+            )
+        else:
+            contrib = edges_w.join(rank_side, "src").select(
+                "src", "dst", (F.col("w") * F.col("rank")).alias("c")
+            )
+        if mode == "coloc":
+            # keys contain p -> aggregation completes within the persisted
+            # p-partitions, no exchange
+            sums = (
+                contrib.groupBy("p", "dst")
+                .agg(F.sum("c").alias("contrib"))
+                .select("dst", "contrib")
+            )
+        elif salt and salt > 1:
             # two-phase aggregation: hot dst keys split across `salt` reducers,
             # deterministically by source hash
             partial = contrib.groupBy(
@@ -145,25 +210,83 @@ def pagerank(
         else:
             sums = contrib.groupBy("dst").agg(F.sum("c").alias("contrib"))
 
-        return (
-            ranks_df.join(sums.withColumnRenamed("dst", "id"), "id", "left")
-            .fillna(0.0, subset=["contrib"])
-            .crossJoin(F.broadcast(dangling_col_df))
-            .select(
-                "id",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping) * (F.col("_dng") / n)
-                    + F.lit(damping) * F.col("contrib")
-                ).alias("rank"),
-                F.col("rank").alias("prev"),
-                "outdeg",
-            )
+        joined = ranks_df.join(sums.withColumnRenamed("dst", "id"), "id", "left").fillna(
+            0.0, subset=["contrib"]
+        )
+        if isinstance(dangling, float):
+            dng_expr = F.lit(dangling)
+        else:
+            joined = joined.crossJoin(F.broadcast(dangling))
+            dng_expr = F.col("_dng")
+        return joined.select(
+            "id",
+            (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping) * (dng_expr / n)
+                + F.lit(damping) * F.col("contrib")
+            ).alias("rank"),
+            F.col("rank").alias("prev"),
+            "outdeg",
         )
 
     history: list[dict] = []
     prev_state = None
     k = start_iter
+
+    # fast path (check_every=1, in-memory checkpointing): 2 stages/superstep.
+    # The dangling mass rides the checkpoint metrics as an observe() side
+    # output (zero extra stages), enters the next superstep as a literal, and
+    # the state materializes through a noop sink (no final-aggregate task) —
+    # vs 5 stages for the in-plan-dangling chain. Identical arithmetic: the
+    # observed double is the same value the in-plan aggregate would broadcast.
+    if check_every == 1 and not ckpt.enabled and k < max_iter:
+        from pyspark.sql import Observation
+
+        dng = float(
+            ranks.agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("outdeg") == 0, F.col("rank"))), F.lit(0.0)
+                ).alias("d")
+            ).collect()[0]["d"]
+        )
+        while k < max_iter:
+            t0 = time.time()
+            # the observed dangling mass enters as a 1-row LocalRelation (not
+            # a literal): the superstep plan is then byte-identical across
+            # supersteps, so whole-stage-codegen caches hit every iteration
+            dng_df = spark.createDataFrame([(float(dng),)], "_dng double")
+            state = one_superstep(ranks, dng_df).localCheckpoint(eager=False)
+            obs = Observation()
+            observed = state.observe(
+                obs,
+                F.sum(F.abs(F.col("rank") - F.col("prev"))).alias("l1"),
+                F.max(F.abs(F.col("rank") - F.col("prev"))).alias("linf"),
+                F.coalesce(
+                    F.sum(F.when(F.col("outdeg") == 0, F.col("rank"))), F.lit(0.0)
+                ).alias("dng"),
+            )
+            observed.write.format("noop").mode("overwrite").save()
+            m = obs.get
+            if prev_state is not None:
+                prev_state.unpersist()
+            prev_state = state
+            dng = float(m["dng"])
+            metrics = {
+                "l1": float(m["l1"]),
+                "linf": float(m["linf"]),
+                "n_vertices": n,
+                "supersteps": 1,
+                "superstep_sec": time.time() - t0,
+                "mode": mode,
+                "salt": salt or 0,
+            }
+            ranks = state.drop("prev")
+            history.append(metrics)
+            k += 1
+            if metrics["l1"] < tol:
+                break
+        max_iter = k  # fast path ran to termination; skip the chained loop
+
     while k < max_iter:
         t0 = time.time()
         steps = min(check_every, max_iter - k)
@@ -220,7 +343,11 @@ def pagerank(
             break
 
     verts_deg.unpersist()
-    edges_w.unpersist()
+    if mode != "coloc":
+        edges_w.unpersist()
+    if coloc_e_p is not None:
+        coloc_e_p.unpersist()
+        coloc_needs.unpersist()
     return ranks.select("id", "rank"), history or ckpt.metrics_history()
 
 

@@ -126,13 +126,25 @@ class DeepGraphFrame:
         return self
 
     # -- partitioning (deepgraph.py:1086-1744) -----------------------------
-    def partition_nodes(self, features, feature_funcs: dict | None = None, n_nodes: bool = True) -> DataFrame:
+    def partition_nodes(
+        self,
+        features,
+        feature_funcs: dict | None = None,
+        n_nodes: bool = True,
+        return_gv: bool = False,
+    ):
+        """Supernode table. ``return_gv=True`` additionally returns the live
+        ``GroupedData`` handle for follow-up aggregations — the Spark analog
+        of the reference's ``return_gv`` groupby object (deepgraph.py:1086)."""
         features = _as_list(features)
         aggs = []
         if n_nodes:
             aggs.append(F.count(F.lit(1)).alias("n_nodes"))
         aggs += _agg_exprs(feature_funcs)
-        return self.v.groupBy(*features).agg(*aggs)
+        sv = self.v.groupBy(*features).agg(*aggs)
+        if return_gv:
+            return sv, self.v.groupBy(*features)
+        return sv
 
     def _enriched_edges(self, source_features, target_features) -> DataFrame:
         """Transfer v features onto e on demand (ref deepgraph.py:1469-1492)
@@ -156,7 +168,10 @@ class DeepGraphFrame:
         target_features=None,
         relation_funcs: dict | None = None,
         n_edges: bool = True,
-    ) -> DataFrame:
+        return_ge: bool = False,
+    ):
+        """Superedge table; ``return_ge=True`` also returns the live
+        ``GroupedData`` (ref ``return_ge``, deepgraph.py:1224)."""
         relations = _as_list(relations)
         sf, tf = _as_list(source_features), _as_list(target_features)
         e = self._enriched_edges(sf, tf)
@@ -165,7 +180,10 @@ class DeepGraphFrame:
         if n_edges:
             aggs.append(F.count(F.lit(1)).alias("n_edges"))
         aggs += _agg_exprs(relation_funcs)
-        return e.groupBy(*keys).agg(*aggs)
+        se = e.groupBy(*keys).agg(*aggs)
+        if return_ge:
+            return se, e.groupBy(*keys)
+        return se
 
     def partition_graph(
         self,

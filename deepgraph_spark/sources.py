@@ -74,3 +74,16 @@ def write_transcripts(df: DataFrame, location: str, buckets: int = 64) -> None:
         partition_by=["conv_bucket"],
         sort_within_partitions=["conv_id", "turn_idx"],
     )
+
+
+def read_csv(spark: SparkSession, path: str, *, header: bool = True, infer_schema: bool = True, **options) -> DataFrame:
+    """CSV ingestion (the reference's tutorials build node tables with
+    ``pandas.read_csv``; deepgraph.py:82-99 accepts any DataFrame). Thin
+    wrapper over the built-in reader so CSV sources get the same scan-level
+    column pruning as parquet (predicate pushdown is parquet/Iceberg-only)."""
+    reader = spark.read.option("header", str(header).lower()).option(
+        "inferSchema", str(infer_schema).lower()
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.csv(path)

@@ -44,7 +44,7 @@ def test_pagerank_parity(spark, name, n, m, seed):
     edges = random_digraph(n, m, seed)
     e, v = _dfs(spark, edges, n)
     oracle = pagerank_numpy_oracle(edges, n)
-    for mode in ["join", "blocks"]:
+    for mode in ["join", "blocks", "coloc"]:
         ranks, hist = pagerank(e, vertices=v, tol=1e-6, mode=mode)
         got = ranks.toPandas().sort_values("id")["rank"].values
         assert np.allclose(got, oracle, atol=1e-6), (name, mode)

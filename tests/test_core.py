@@ -212,3 +212,20 @@ def test_datetime_categories(spark):
     got = gf.v.toPandas().sort_values("id")
     assert got.tod.tolist() == [0, 1, 2, 3]
     assert got.season.tolist() == [0, 1, 2, 3]  # DJF MAM JJA SON
+
+
+def test_partition_return_handles(g, spark):
+    """return_gv / return_ge live GroupedData handles (ref deepgraph.py:1086,
+    1224): follow-up aggregations run against the same grouping."""
+    from pyspark.sql import functions as F
+
+    gf = DeepGraphFrame(spark.createDataFrame(V5), index_col="id")
+    sv, gv = gf.partition_nodes("color", return_gv=True)
+    follow = gv.agg(F.max("time").alias("mx")).toPandas().sort_values("color")
+    assert follow.mx.tolist() == [
+        spark.createDataFrame(V5).where(F.col("color") == c).agg(F.max("time")).collect()[0][0]
+        for c in follow.color.tolist()
+    ]
+    gf.create_edges_ft(("time", 5), [some_relations])
+    se, ge = gf.partition_edges(relations=["same_color"], return_ge=True)
+    assert ge.agg(F.count(F.lit(1)).alias("n")).toPandas().n.sum() == se.toPandas().n_edges.sum()
