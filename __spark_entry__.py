@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry(spark)`` runs the flagship query on sf0.001; ``queries()`` /
-``oracle_sql()`` expose every implemented operator from SURVEY.md §2 with a
-DuckDB oracle where SQL-expressible (iterative kernels and custom-hash
-sketches are rows-only by design — the oracle equivalents live in the pytest
-suite as numpy implementations instead)."""
+``oracle_sql()`` expose every implemented operator from SURVEY.md §2 — all
+24 queries carry a full DuckDB value oracle, including the iterative kernels
+(unrolled fixed-iteration power iteration / LPA) and the hash sketches
+(shared 60-bit MD5 hash family mirrors simhash, winnowing fingerprints, and
+the complete MinHash-LSH band pipeline engine-for-engine)."""
 
 from __future__ import annotations
 

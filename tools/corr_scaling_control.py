@@ -1,8 +1,10 @@
-"""Second-workload scaling control (BASELINE.md): the pairwise-correlation
-workload is compute-bound (one einsum per Arrow batch, ~no shuffle), so its
-8→32 scaling shows what THIS ENGINE reaches on this box when the workload
-isn't bound by the shared memory system — the engine-side analog of
-tools/hw_scaling_control.py's pure-numpy ceiling.
+"""Second-workload scaling probe (BASELINE.md): 8→32 scaling of the
+pairwise-correlation workload. Measured finding: the workload is
+Arrow-transfer-bound (each candidate pair moves 2×n_samples doubles through
+the Arrow boundary), so on one box it hits the same shared-memory-bandwidth
+wall as the PageRank superstep — corroborating, not escaping, the
+contention diagnosis. Kept as the probe that established that; the pure
+hardware ceiling lives in tools/hw_scaling_control.py.
 
 Usage: python tools/corr_scaling_control.py [n_features] [n_samples]
 """

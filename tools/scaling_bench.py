@@ -35,6 +35,10 @@ LEVELS = [8, 32]
 MASTER_TMPL = os.environ.get("SCALING_MASTER", "local[{cores}]")
 CHECK_EVERY = int(os.environ.get("SCALING_CHECK_EVERY", "1"))
 EXEC_MEM = os.environ.get("SCALING_EXEC_MEM", "12g")
+# SCALING_WEAK=1: weak scaling — constant data per core (N cores get
+# N_TURNS * N/max_cores turns), the N-executors-with-X-data vs
+# 4N-executors-with-4X-data story; efficiency compares per-core throughput.
+WEAK = os.environ.get("SCALING_WEAK", "") == "1"
 
 
 def run_at(cpus: int) -> dict:
@@ -69,7 +73,8 @@ def run_at(cpus: int) -> dict:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    tr = generate_transcripts(spark, n_turns=N_TURNS, seed=42, partitions=cpus * 2).persist()
+    n_turns = N_TURNS * cpus // max(LEVELS) if WEAK else N_TURNS
+    tr = generate_transcripts(spark, n_turns=n_turns, seed=42, partitions=cpus * 2).persist()
     tr.count()
 
     t0 = time.time()
@@ -110,6 +115,7 @@ def main():
         "job": f"transcripts({N_TURNS} turns, tau={TAU}s) -> edges -> pagerank@1e-6 ({MODE})",
         "master": MASTER_TMPL,
         "check_every": CHECK_EVERY,
+        "weak_scaling": WEAK,
         "levels": results,
         "pagerank_scaling_efficiency": round(pr_eff, 3),
         "pipeline_scaling_efficiency": round(pipe_eff, 3),
