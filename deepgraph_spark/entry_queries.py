@@ -298,6 +298,21 @@ def q_minhash_dedup_documents(spark, sf_dir):
     return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_neardup_clusters(spark, sf_dir):
+    """Composed pipeline op: MinHash-LSH pairs → connected components →
+    canonical duplicate groups (md5 family so the oracle mirrors the exact
+    candidate set; the CC stage is checked by the recursive-CTE oracle)."""
+    from deepgraph_spark.pipeline import neardup_clusters
+
+    out = neardup_clusters(
+        _t(spark, sf_dir, "documents"), threshold=0.5, hash_fn="md5"
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster").cast("long").alias("cluster"),
+    )
+
+
 def q_simhash_documents(spark, sf_dir):
     from deepgraph_spark.pipeline import simhash_fingerprints
 
@@ -640,6 +655,23 @@ def _minhash_oracle_sql(
 
 ORACLES["minhash_dedup_documents"] = _minhash_oracle_sql()
 
+# near-dup clusters: the minhash mirror produces the identical pair set, a
+# recursive CTE closes it transitively, labels = min reachable doc id
+ORACLES["neardup_clusters"] = f"""
+    WITH RECURSIVE pairs AS MATERIALIZED (
+        SELECT a, b FROM ({_minhash_oracle_sql()})
+    ),
+    sym AS MATERIALIZED (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+    reach(u, v) AS (
+        SELECT u, v FROM sym
+        UNION
+        SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+    )
+    SELECT CAST(u AS BIGINT) AS doc_id,
+           CAST(LEAST(u, MIN(v)) AS BIGINT) AS cluster
+    FROM reach GROUP BY u
+"""
+
 # shared 60-bit hash (deepgraph_spark.pipeline.dedup.hash60): first 15 hex
 # chars of md5, parsed base-16 — byte-identical in both engines
 _HASH60_SQL = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
@@ -712,6 +744,7 @@ QUERIES = {
     "text_quality_documents": q_text_quality_documents,
     "lang_id_documents": q_lang_id_documents,
     "minhash_dedup_documents": q_minhash_dedup_documents,
+    "neardup_clusters": q_neardup_clusters,
     "simhash_documents": q_simhash_documents,
     "doc_fingerprints": q_doc_fingerprints,
 }

@@ -7,6 +7,7 @@ from deepgraph_spark.pipeline.dedup import (
     embedding_neardup_pairs,
     exact_dedup,
     minhash_lsh_dedup,
+    neardup_clusters,
     ngram_jaccard_pairs,
     simhash_fingerprints,
 )
@@ -21,6 +22,7 @@ from deepgraph_spark.pipeline.textstats import (
 __all__ = [
     "exact_dedup",
     "minhash_lsh_dedup",
+    "neardup_clusters",
     "simhash_fingerprints",
     "ngram_jaccard_pairs",
     "embedding_neardup_pairs",

@@ -157,6 +157,35 @@ def hash60(col) -> F.Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def neardup_clusters(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    hash_fn: str = "xxhash64",
+    **minhash_kw,
+) -> DataFrame:
+    """Near-duplicate clusters: MinHash-LSH candidate pairs → connected
+    components → (doc, cluster=min doc id of its duplicate group). The
+    canonical keep-one-per-cluster step of a dedup pipeline, composed from
+    the engine's own operators (LSH pair generation + large-star/small-star
+    CC) — both stages are the scale-safe plans audited in docs/PLANS.md.
+    Returns one row per document that has at least one near-duplicate."""
+    from deepgraph_spark.algorithms import connected_components
+
+    pairs = minhash_lsh_dedup(
+        docs, text_col=text_col, id_col=id_col, threshold=threshold,
+        hash_fn=hash_fn, **minhash_kw,
+    )
+    cp = connected_components(
+        pairs.select(F.col("a").alias("s"), F.col("b").alias("t")),
+        label_by_size=False,
+        index_col=id_col,
+    )
+    return cp.withColumnRenamed("cp", "cluster")
+
+
 def simhash_fingerprints(
     docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", bits: int = 60
 ) -> DataFrame:

@@ -179,3 +179,28 @@ def test_multimodal_stub(spark):
     assert (frames.frame_ms % 250 == 0).all()
     with pytest.raises(Exception, match="NotImplementedError|decoder"):
         extract_features(assets, fake=False).count()
+
+
+def test_hash60_duckdb_parity(spark):
+    """The shared 60-bit MD5 hash is the contract that makes simhash,
+    winnowing fingerprints and the minhash band pipeline oracle-able:
+    Spark's conv(substr(md5, 1, 15), 16, 10) must equal DuckDB's
+    ('0x' || substr(md5, 1, 15))::BIGINT byte-for-byte."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from deepgraph_spark.pipeline.dedup import hash60
+
+    vals = ["foo", "bar baz", "", "0|the quick fox", "üñïçødé"]
+    got = (
+        spark.createDataFrame([(v,) for v in vals], "s string")
+        .select("s", hash60(F.col("s")).alias("h"))
+        .toPandas()
+        .set_index("s")["h"]
+    )
+    con = duckdb.connect()
+    for v in vals:
+        exp = con.execute(
+            "SELECT ('0x' || substr(md5(?), 1, 15))::BIGINT", [v]
+        ).fetchone()[0]
+        assert got[v] == exp, v

@@ -76,11 +76,37 @@ contrib = ew.join(ranks.select(F.col("id").alias("src"),"rank"), "src").select("
 sums = contrib.groupBy("dst").agg(F.sum("c").alias("contrib"))
 new_state = ranks.join(sums.withColumnRenamed("dst","id"), "id", "left")
 sections.append(("PageRank superstep (join mode, co-partitioned)", cap(new_state),
-"""edges_w persisted hash-partitioned by src; rank state persisted hash-partitioned
-by id with the same partition count -> the contribution join needs NO exchange on
-either side; the dst aggregation is the one shuffle per superstep; the state join
-back is again co-partitioned. AQE is disabled inside the loop (static partitioning
-makes its per-stage replanning pure overhead)."""))
+"""edges_w persisted hash-partitioned by src and SORTED (src, dst) in-partition
+(sequential probe/agg access); rank state persisted hash-partitioned by id with
+the same partition count -> the contribution join needs NO exchange on either
+side; the dst aggregation is the one shuffle per superstep; the state join back
+is again co-partitioned. In the runtime loop the dangling mass enters as a
+broadcast 1-row LocalRelation (byte-identical plans across supersteps -> codegen
+cache hits), convergence metrics ride an observe() on the checkpointed state, and
+a noop sink materializes it: 2 stages per superstep. AQE is disabled inside the
+loop (static partitioning makes its per-stage replanning pure overhead)."""))
+
+# coloc superstep: dst-range layout, rank-table replication instead of
+# contribution shuffle — assert the two-small-exchange shape
+stride2 = 101 // 8 + 1
+p_of = ((F.col("dst") - F.pmod(F.col("dst"), F.lit(stride2))) / F.lit(stride2)).cast("int")
+e_p2 = ew.withColumn("p", p_of).repartition(8, "p").persist(); e_p2.count()
+needs2 = e_p2.select("p", "src").distinct().repartition(8, "src").persist(); needs2.count()
+rep2 = needs2.join(ranks.select(F.col("id").alias("src"), "rank"), "src").repartition(8, "p")
+contrib2 = e_p2.join(rep2, ["p", "src"]).select("p", "dst", (F.col("w") * F.col("rank")).alias("c"))
+sums2 = contrib2.groupBy("p", "dst").agg(F.sum("c").alias("contrib")).select("dst", "contrib")
+state2 = ranks.join(sums2.withColumnRenamed("dst", "id"), "id", "left")
+sections.append(("PageRank superstep (coloc mode: dst-range layout + needs table)", cap(state2),
+"""The per-superstep bulk shuffle is the RANK table replicated into its consumer
+partitions (n*R rows, R ~= 1-2 on locality-friendly ids) — not the m-row
+contribution stream. The (p, src) join and the (p, dst) aggregation both reuse
+the persisted hashpartitioning(p): exactly TWO exchanges per superstep (rep by
+p + sums by id) — verified with autoBroadcastJoinThreshold=-1 at bench scale
+(this toy-size capture broadcasts the small sides instead; the Exchange nodes
+shown are the one-time persisted-layout builds). On one shared-memory box this loses to
+join mode (the extra replication join costs contended CPU); on a real cluster
+where per-superstep shuffle I/O is the constraint it is the design point —
+measured trade-off in BASELINE.md."""))
 
 out = ["# PLANS — physical-plan audit of the hot operators\n",
        "Generated by tools/gen_plans.py (re-run after plan-affecting changes).",
