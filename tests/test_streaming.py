@@ -73,3 +73,61 @@ def test_stream_equals_batch(spark, tmp_path):
     )
     assert len(got) == len(exp)
     pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp)
+
+
+def test_stream_sessionize_equals_batch(spark, tmp_path):
+    """Native session_window stateful aggregation: streamed sessions (append
+    mode, availableNow) must equal the strict-gap batch twin. A far-future
+    sentinel event pushes the watermark so every real session flushes."""
+    from deepgraph_spark.streaming.sessions import sessionize_batch, stream_sessionize
+
+    src = str(tmp_path / "sess_src")
+    ck = str(tmp_path / "sess_ck")
+
+    ev = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "user_id": [1, 1, 1, 1, 2, 2, 9999],
+                "ts": pd.to_datetime(
+                    [
+                        "2024-01-01 00:00:00",
+                        "2024-01-01 00:10:00",  # same session (gap 10m)
+                        "2024-01-01 01:00:00",  # new session (gap 50m)
+                        "2024-01-01 01:05:00",
+                        "2024-01-01 00:00:00",
+                        "2024-01-01 02:00:00",  # user 2: two sessions
+                        "2030-01-01 00:00:00",  # watermark sentinel
+                    ]
+                ),
+            }
+        )
+    )
+    ev.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = (
+        stream_sessionize(stream, gap_seconds=1800, watermark="0 seconds")
+        .writeStream.format("memory")
+        .queryName("sessions_out")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = (
+        spark.table("sessions_out")
+        .where(F.col("user_id") != 9999)
+        .toPandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        sessionize_batch(ev.where(F.col("user_id") != 9999), gap_seconds=1800)
+        .toPandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    assert got.user_id.tolist() == exp.user_id.tolist()
+    assert got.n_events.tolist() == exp.n_events.tolist()
+    assert (got.session_start.values == exp.session_start.values).all()
