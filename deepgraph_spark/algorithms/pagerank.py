@@ -150,9 +150,19 @@ def pagerank(
         # graphs like time-banded transcripts) is what shuffles — not the
         # m-row contribution stream — and the dst aggregation completes
         # inside the p-partitions with no exchange (groupBy keys contain p).
-        ids_mx = verts_deg.agg(F.max("id").alias("mx")).collect()[0]["mx"]
-        stride = int(ids_mx) // num_partitions + 1
-        p_of = ((F.col("dst") - F.pmod(F.col("dst"), F.lit(stride))) / F.lit(stride)).cast("int")
+        from pyspark.sql.types import NumericType
+
+        id_type = dict(zip(verts_deg.schema.names, verts_deg.schema.fields))["id"].dataType
+        if isinstance(id_type, NumericType):
+            # numeric ids: dst-range layout preserves graph locality (banded
+            # transcript ids land in few partitions per source)
+            ids_mx = verts_deg.agg(F.max("id").alias("mx")).collect()[0]["mx"]
+            stride = int(ids_mx) // num_partitions + 1
+            p_of = ((F.col("dst") - F.pmod(F.col("dst"), F.lit(stride))) / F.lit(stride)).cast("int")
+        else:
+            # non-numeric ids (string vertices are supported engine-wide):
+            # hash bucketing — same correctness, layout loses range locality
+            p_of = F.pmod(F.abs(F.xxhash64(F.col("dst"))), F.lit(num_partitions)).cast("int")
         coloc_e_p = (
             edges_w.withColumn("p", p_of)
             .repartition(num_partitions, "p")

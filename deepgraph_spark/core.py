@@ -113,7 +113,10 @@ class DeepGraphFrame:
         stay distributed)."""
         by = _as_list(by)
         labels = with_dense_index(self.v.select(*by).distinct(), by, label_col)
-        self.v = self.v.join(F.broadcast(labels), on=by, how="left")
+        # no broadcast hint: the label table is distinct-keys-sized, which is
+        # documented to reach millions of groups — AQE broadcasts it when (and
+        # only when) it is actually small
+        self.v = self.v.join(labels, on=by, how="left")
         return self
 
     def superedge_labels_by(self, label_col: str, by) -> "DeepGraphFrame":
@@ -122,7 +125,7 @@ class DeepGraphFrame:
         deepgraph.py:137-146)."""
         by = _as_list(by)
         labels = with_dense_index(self.e.select(*by).distinct(), by, label_col)
-        self.e = self.e.join(F.broadcast(labels), on=by, how="left")
+        self.e = self.e.join(labels, on=by, how="left")  # AQE-decided strategy
         return self
 
     # -- partitioning (deepgraph.py:1086-1744) -----------------------------
@@ -389,24 +392,50 @@ class DeepGraphFrame:
 
 
 def with_dense_index(df: DataFrame, order_by, index_col: str = "id") -> DataFrame:
-    """Attach a dense 0-based id in ``order_by`` order — distributed.
+    """Attach a dense 0-based id in ``order_by`` order — distributed, JVM-only.
 
-    ``sort`` range-partitions (sampled boundaries), then ``zipWithIndex``
-    assigns globally consecutive indices with one extra pass that only counts
-    partition sizes (the two-pass partition-offset scheme). No
-    single-partition global window anywhere, so this scales to arbitrarily
-    many rows; the RDD hop is the one place imperative API is warranted
-    (Catalyst has no distributed dense-rank-without-partition).
+    Two-pass partition-offset scheme with no Python round-trip and no
+    single-partition global window (Catalyst has no distributed
+    dense-rank-without-partition):
+
+    1. ``repartitionByRange`` + ``sortWithinPartitions`` puts the data in
+       global ``order_by`` order with partition ids ascending along the range;
+       an eager ``localCheckpoint`` pins that layout so both downstream passes
+       read identical blocks. ``monotonically_increasing_id`` then encodes
+       ``(partition, local row number)`` in row-iteration order — which is the
+       sorted order — entirely inside codegen.
+    2. One tiny aggregation (map-side combined to <= 1 row per partition)
+       yields per-partition counts; the cumulative offsets enter the plan as a
+       literal map, so ``index = offset[pid] + local`` is pure codegen — no
+       extra shuffle, no window.
 
     ``order_by``: column names or Column expressions (e.g. ``F.desc(...)``).
     """
-    from pyspark.sql import types as T
-
     if not isinstance(order_by, (list, tuple)):
         order_by = [order_by]
-    sdf = df.sort(*order_by)
-    schema = T.StructType(
-        list(sdf.schema.fields) + [T.StructField(index_col, T.LongType(), False)]
+    mask = (1 << 33) - 1  # mono id = pid << 33 | row-in-partition
+    sdf = (
+        df.repartitionByRange(*order_by)
+        .sortWithinPartitions(*order_by)
+        .withColumn("__mono", F.monotonically_increasing_id())
+        .localCheckpoint(eager=True)
     )
-    rdd = sdf.rdd.zipWithIndex().map(lambda x: (*x[0], x[1]))
-    return sdf.sparkSession.createDataFrame(rdd, schema)
+    counts = (
+        sdf.groupBy(F.shiftright("__mono", 33).alias("__pid"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    )
+    offsets, acc = {}, 0
+    for row in sorted(counts, key=lambda r: r["__pid"]):
+        offsets[int(row["__pid"])] = acc
+        acc += int(row["__n"])
+    if not offsets:
+        return sdf.drop("__mono").withColumn(index_col, F.lit(0).cast("long"))
+    off_map = F.create_map(
+        *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+    )
+    pid = F.shiftright("__mono", 33)
+    local = F.col("__mono").bitwiseAND(F.lit(mask))
+    return sdf.withColumn(
+        index_col, (off_map[pid] + local).cast("long")
+    ).drop("__mono")

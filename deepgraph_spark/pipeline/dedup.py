@@ -30,9 +30,13 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies")
     )
     singles = counts.where(F.col("n_copies") == 1).select(id_col, "n_copies")
+    # the repeat-hash sliver is usually tiny, but on a heavily-duplicated
+    # corpus (dedup's target workload) it is unbounded — no broadcast hint;
+    # AQE picks broadcast when the sliver is actually small, else a shuffle
+    # semi-join-shaped plan
     dup_hashes = counts.where(F.col("n_copies") > 1).select("_h")
     dups = (
-        d.join(F.broadcast(dup_hashes), "_h")
+        d.join(dup_hashes, "_h")
         .groupBy("_h", text_col)
         .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
         .select(id_col, "n_copies")

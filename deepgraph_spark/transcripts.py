@@ -10,9 +10,8 @@ features (SURVEY.md §2.5).
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from deepgraph_spark.core import DeepGraphFrame
@@ -46,19 +45,22 @@ def shared_tool(tool_s, tool_t):
 def turn_vertices(transcripts: DataFrame, index_col: str = "id") -> DataFrame:
     """Unique long id per turn: ``conv_rank * stride + turn_idx``.
 
-    The only global ordering happens on the (small) conversation dimension —
-    a dense rank over distinct ``conv_id`` — never over the turn table, so
-    the scheme survives 10^12 turns (the conv table is ~orders smaller).
-    Within a conversation, id order == turn order == ts order.
+    Conversation ranks come from :func:`with_dense_index` (range-partitioned
+    sort + partition-offset arithmetic — fully distributed, no global window),
+    so the scheme survives 10^12 turns even though the conversation dimension
+    is itself ~10^10 rows at that scale; the rank join back onto the turn
+    table is left to AQE (broadcast when the conv table is genuinely small,
+    shuffle join otherwise). Within a conversation, id order == turn order ==
+    ts order.
     """
+    from deepgraph_spark.core import with_dense_index
+
     convs = transcripts.select("conv_id").distinct()
-    conv_rank = convs.withColumn(
-        "_cr", F.dense_rank().over(Window.orderBy("conv_id")) - 1
-    )
+    conv_rank = with_dense_index(convs, "conv_id", "_cr")
     stride_row = transcripts.agg(F.max("turn_idx").alias("mx")).collect()[0]
     stride = int(stride_row["mx"]) + 1
     return (
-        transcripts.join(F.broadcast(conv_rank), "conv_id")
+        transcripts.join(conv_rank, "conv_id")
         .withColumn(index_col, (F.col("_cr").cast("long") * stride + F.col("turn_idx")))
         .drop("_cr")
     )

@@ -24,7 +24,15 @@ def main():
     ap.add_argument("--turns", type=int, default=100_000)
     ap.add_argument("--tau", type=float, default=120.0)
     ap.add_argument("--tol", type=float, default=1e-6)
-    ap.add_argument("--mode", default="blocks", choices=["join", "blocks"])
+    ap.add_argument(
+        "--mode",
+        default="join",
+        choices=["join", "blocks", "broadcast", "coloc"],
+        help="physical strategy: 'join' (default — the 100 TB path: one "
+        "co-partitioned shuffle per superstep, unbounded vertex count); "
+        "'blocks' is the per-partition CSR accelerator for graphs whose "
+        "rank vector fits in executor memory (~<=10^8 vertices)",
+    )
     ap.add_argument("--salt", type=int, default=0)
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--max-iter", type=int, default=100)
