@@ -2,7 +2,7 @@
 
 ``entry(spark)`` runs the flagship query on sf0.001; ``queries()`` /
 ``oracle_sql()`` expose every implemented operator from SURVEY.md §2 — all
-24 queries carry a full DuckDB value oracle, including the iterative kernels
+27 queries carry a full DuckDB value oracle, including the iterative kernels
 (unrolled fixed-iteration power iteration / LPA) and the hash sketches
 (shared 60-bit MD5 hash family mirrors simhash, winnowing fingerprints, and
 the complete MinHash-LSH band pipeline engine-for-engine)."""

@@ -4,114 +4,183 @@ Headline: the BASELINE.json metric — edges/sec/core for PageRank to 1e-6
 convergence on the synthetic transcript link graph — plus per-query wall
 times over the driver tables at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
+Measurement validity (round-3 redesign): every query group runs in its OWN
+subprocess with a fresh JVM/SparkSession, so no query's persisted state,
+shuffle files, codegen caches, or GC pressure can contaminate another's
+timing (the round-2 artifact showed 8x inflation on pairwise-correlation
+when timed after an unrelated 10M-pair band join in the same JVM). Each
+query is repeated BENCH_REPEATS (default 3) times inside its group;
+``queries`` reports the MEDIAN, ``query_stats`` the min/max spread.
+
 Scaling evidence (N vs 4N executors → local[8] vs local[32]) is produced by
 tools/scaling_bench.py and recorded in BASELINE.md / BENCH notes; this script
 runs at the driver-provided parallelism only.
+
+Usage: ``python bench.py`` (parent — spawns one subprocess per group);
+``python bench.py --group NAME`` is the internal child entry.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
+import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, ROOT)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_TURNS = int(os.environ.get("BENCH_TURNS", "200000"))
 TAU = float(os.environ.get("BENCH_TAU", "120"))
+REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
+
+GROUPS = ["transcript", "events", "docs", "emb", "ref", "ft100k"]
 
 
-def timed(fn):
-    t0 = time.time()
-    out = fn()
-    return time.time() - t0, out
-
-
-def main():
-    from pyspark.sql import functions as F
-
+def _session(name: str):
     from deepgraph_spark.session import get_spark
 
-    spark = get_spark(app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS * 2)
+    # shuffle + local-checkpoint files through tmpfs: keeps the single local
+    # disk of this VM out of the measurement (a cluster has per-node disks)
+    local_dir = os.environ.get("BENCH_LOCAL_DIR", "/dev/shm/spark-local")
+    os.makedirs(local_dir, exist_ok=True)
+    spark = get_spark(
+        app_name=f"bench-{name}",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS * 2,
+        extra_conf={"spark.local.dir": local_dir},
+    )
     spark.sparkContext.setLogLevel("ERROR")
+    return spark
 
-    sf = SF_DIR.rstrip("/").split("sf")[-1]
-    queries: dict[str, float] = {}
 
-    # -- headline: synthetic transcript link graph → PageRank to 1e-6 -------
+def _repeat(fn, n=REPEATS, warmup=1) -> list[float]:
+    """Steady-state timing: `warmup` untimed run(s) (codegen + python-worker
+    spin-up for this exact plan shape), then n timed runs. Each run must do
+    its own materializing action."""
+    for _ in range(warmup):
+        fn()
+    out = []
+    for _ in range(n):
+        t0 = time.time()
+        fn()
+        out.append(time.time() - t0)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# groups (each runs in its own subprocess / fresh JVM)
+# ---------------------------------------------------------------------------
+
+def group_transcript() -> dict:
     from deepgraph_spark.algorithms import pagerank
     from deepgraph_spark.datagen import generate_transcripts
     from deepgraph_spark.transcripts import build_turn_graph
 
-    t_gen0 = time.time()
-    tr = generate_transcripts(spark, n_turns=N_TURNS, seed=42, partitions=CPUS * 2)
-    tr = tr.persist()
-    n_turns = tr.count()
-    queries["gen_transcripts"] = time.time() - t_gen0
+    spark = _session("transcript")
+    times: dict[str, list[float]] = {}
+    extra: dict = {}
 
-    t0 = time.time()
-    g = build_turn_graph(tr, tau_seconds=TAU)
-    edges = g.e.select("s", "t").persist()
-    m_edges = edges.count()
-    queries["build_turn_edges"] = time.time() - t0
+    holder = {}
 
-    t0 = time.time()
-    ranks, hist = pagerank(
-        edges, vertices=g.v.select("id"), tol=1e-6, mode="blocks", max_iter=100
-    )
-    _ = ranks.count()
-    pr_sec = time.time() - t0
-    queries["pagerank_transcripts"] = pr_sec
-    iters = len(hist)
-    edges_processed = m_edges * max(iters, 1)
-    eps_per_core = edges_processed / pr_sec / CPUS
+    def gen():
+        if "tr" in holder:
+            holder["tr"].unpersist()
+        tr = generate_transcripts(spark, n_turns=N_TURNS, seed=42, partitions=CPUS * 2)
+        tr = tr.persist()
+        extra["n_turns"] = tr.count()
+        holder["tr"] = tr
 
-    # -- driver-table queries ------------------------------------------------
-    from deepgraph_spark.entry_queries import (
-        event_edges,
-        q_ann_topk_embeddings,
-        q_ngram_jaccard_documents,
-        q_triangles_events,
-    )
+    times["gen_transcripts"] = _repeat(gen)
 
-    t0 = time.time()
-    e_events = event_edges(spark, SF_DIR).persist()
-    m_events = e_events.count()
-    queries["edges_ft_events"] = time.time() - t0
+    def build():
+        if "edges" in holder:
+            holder["edges"].unpersist()
+        g = build_turn_graph(holder["tr"], tau_seconds=TAU)
+        edges = g.e.select("s", "t").persist()
+        extra["m_edges"] = edges.count()
+        holder["edges"] = edges
+        holder["v"] = g.v.select("id")
+
+    times["build_turn_edges"] = _repeat(build)
+
+    def pr():
+        ranks, hist = pagerank(
+            holder["edges"], vertices=holder["v"], tol=1e-6, mode="blocks", max_iter=100
+        )
+        ranks.count()
+        extra["iterations"] = len(hist)
+
+    times["pagerank_transcripts"] = _repeat(pr)
+    return {"times": times, "extra": extra}
+
+
+def group_events() -> dict:
+    from pyspark.sql import functions as F
 
     from deepgraph_spark.algorithms import connected_components
+    from deepgraph_spark.entry_queries import event_edges, q_triangles_events
 
-    t0 = time.time()
-    verts = spark.read.parquet(f"{SF_DIR}/events.parquet").select(F.col("event_id").alias("id"))
-    _ = connected_components(e_events, vertices=verts, label_by_size=False).count()
-    queries["cc_events"] = time.time() - t0
+    spark = _session("events")
+    times: dict[str, list[float]] = {}
+    extra: dict = {}
 
-    t0 = time.time()
-    _ = q_triangles_events(spark, SF_DIR).collect()
-    queries["triangles_events"] = time.time() - t0
+    def ft():
+        extra["events_graph_edges"] = event_edges(spark, SF_DIR).count()
 
+    times["edges_ft_events"] = _repeat(ft)
+
+    e = event_edges(spark, SF_DIR).persist()
+    e.count()
+    verts = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        F.col("event_id").alias("id")
+    )
+
+    def cc():
+        connected_components(e, vertices=verts, label_by_size=False).count()
+
+    times["cc_events"] = _repeat(cc)
+    times["triangles_events"] = _repeat(
+        lambda: q_triangles_events(spark, SF_DIR).collect()
+    )
+    return {"times": times, "extra": extra}
+
+
+def group_docs() -> dict:
+    from deepgraph_spark.entry_queries import q_ngram_jaccard_documents
     from deepgraph_spark.pipeline import minhash_lsh_dedup
 
-    t0 = time.time()
-    # xxhash64 family = the production fast path (the gate query runs the
-    # md5-shared family for oracle parity; same plan, different hash)
-    _ = minhash_lsh_dedup(
-        spark.read.parquet(f"{SF_DIR}/documents.parquet"), threshold=0.5
-    ).count()
-    queries["minhash_dedup"] = time.time() - t0
+    spark = _session("docs")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    times = {
+        # xxhash64 family = the production fast path (the gate query runs the
+        # md5-shared family for oracle parity; same plan, different hash)
+        "minhash_dedup": _repeat(
+            lambda: minhash_lsh_dedup(docs, threshold=0.5).count()
+        ),
+        "ngram_jaccard": _repeat(
+            lambda: q_ngram_jaccard_documents(spark, SF_DIR).count()
+        ),
+    }
+    return {"times": times, "extra": {}}
 
-    t0 = time.time()
-    _ = q_ngram_jaccard_documents(spark, SF_DIR).count()
-    queries["ngram_jaccard"] = time.time() - t0
 
-    t0 = time.time()
-    _ = q_ann_topk_embeddings(spark, SF_DIR).count()
-    queries["ann_topk"] = time.time() - t0
+def group_emb() -> dict:
+    from deepgraph_spark.entry_queries import q_ann_topk_embeddings
 
-    # -- reference-published workloads (BASELINE.md head-to-head) ------------
+    spark = _session("emb")
+    times = {"ann_topk": _repeat(lambda: q_ann_topk_embeddings(spark, SF_DIR).count())}
+    return {"times": times, "extra": {}}
+
+
+def group_ref() -> dict:
+    """Reference-published workloads (BASELINE.md head-to-head). corr is
+    timed FIRST: it is the only throughput-scale comparison and historically
+    the most contamination-sensitive query in the suite."""
     from deepgraph_spark.workloads import (
         balls_allpairs,
         balls_ft,
@@ -120,73 +189,149 @@ def main():
         pairwise_correlations,
     )
 
-    vb = make_balls(spark, 1168).persist()
-    vb.count()
-    # warm python workers + numpy before the timed head-to-head runs
-    _ = balls_allpairs(make_balls(spark, 200, seed=1), num_blocks=2).count()
-    _ = pairwise_correlations(make_features(spark, 300, 100, seed=1), num_blocks=4).count()
-    t0 = time.time()
-    _ = balls_allpairs(vb, num_blocks=4).count()
-    queries["ref_allpairs_1168"] = time.time() - t0  # ref: 0.557s
-    t0 = time.time()
-    _ = balls_ft(vb, 1000).count()
-    queries["ref_ft_1168"] = time.time() - t0  # ref: 0.167s
+    spark = _session("ref")
+    times: dict[str, list[float]] = {}
+    extra: dict = {}
 
-    # crossover point: 100k nodes is ~5.0e9 candidate pairs all-pairs — the
-    # band join examines only the ~10M in-band pairs (linear plan). The
-    # extrapolated all-pairs cost at the measured all-pairs rate makes the
-    # fast-track advantage explicit at the scale where it matters (the
-    # reference's published 3.3x at 1,168 nodes is overhead-dominated here).
-    vb_big = make_balls(spark, 100_000, seed=2).persist()
-    vb_big.count()
-    t0 = time.time()
-    n_ft_pairs = balls_ft(vb_big, 1000).count()
-    ft_100k_sec = time.time() - t0
-    queries["ref_ft_100k"] = ft_100k_sec
-    vb_big.unpersist()
+    # warm python workers + numpy before any timed run
+    balls_allpairs(make_balls(spark, 200, seed=1), num_blocks=2).count()
+    pairwise_correlations(make_features(spark, 300, 100, seed=1), num_blocks=4).count()
 
     vf = make_features(spark, 5000, 100).persist()
     vf.count()
-    t0 = time.time()
-    n_corr = pairwise_correlations(vf, num_blocks=12).count()
-    corr_sec = time.time() - t0
-    queries["ref_pairwise_corr_5000"] = corr_sec  # ref: 14.193s
 
-    total = sum(queries.values())
+    def corr_run():
+        # num_blocks = cores: 32 * 33 / 2 block-pair tasks balance across the
+        # 32 cores (12 blocks left cores idle behind stragglers — measured 3x)
+        extra["n_corr"] = pairwise_correlations(vf, num_blocks=CPUS).count()
+
+    times["ref_pairwise_corr_5000"] = _repeat(corr_run)  # ref: 14.193s
+    vf.unpersist()
+
+    vb = make_balls(spark, 1168).persist()
+    vb.count()
+
+    def ap():
+        extra["n_allpairs_1168"] = balls_allpairs(vb, num_blocks=4).count()
+
+    times["ref_allpairs_1168"] = _repeat(ap)  # ref: 0.557s
+    times["ref_ft_1168"] = _repeat(lambda: balls_ft(vb, 1000).count())  # ref: 0.167s
+    return {"times": times, "extra": extra}
+
+
+def group_ft100k() -> dict:
+    """Fast-track crossover evidence at 100k nodes (~5.0e9 all-pairs
+    candidates; the band join touches only the ~10M in-band pairs). Isolated
+    last: its persisted 100k table + 10M-pair join were the round-2
+    contamination source."""
+    from deepgraph_spark.workloads import balls_ft, make_balls
+
+    spark = _session("ft100k")
+    extra: dict = {}
+    vb_big = make_balls(spark, 100_000, seed=2).persist()
+    vb_big.count()
+
+    def run():
+        extra["band_pairs"] = balls_ft(vb_big, 1000).count()
+
+    times = {"ref_ft_100k": _repeat(run)}
+    return {"times": times, "extra": extra}
+
+
+GROUP_FNS = {
+    "transcript": group_transcript,
+    "events": group_events,
+    "docs": group_docs,
+    "emb": group_emb,
+    "ref": group_ref,
+    "ft100k": group_ft100k,
+}
+
+
+# ---------------------------------------------------------------------------
+# parent: one subprocess per group, aggregate medians
+# ---------------------------------------------------------------------------
+
+def main_parent():
+    times: dict[str, list[float]] = {}
+    extra: dict = {}
+    for grp in GROUPS:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--group", grp],
+            capture_output=True,
+            text=True,
+            cwd=ROOT,
+            env=os.environ.copy(),
+        )
+        if proc.returncode != 0:
+            sys.stderr.write(proc.stderr[-4000:])
+            raise RuntimeError(f"bench group {grp} failed (rc={proc.returncode})")
+        payload = json.loads(proc.stdout.strip().splitlines()[-1])
+        times.update(payload["times"])
+        extra.update(payload["extra"])
+
+    med = {k: statistics.median(v) for k, v in times.items()}
+    total = sum(med.values())
+    corr_sec = med["ref_pairwise_corr_5000"]
+    pr_sec = med["pagerank_transcripts"]
+    edges_processed = extra["m_edges"] * max(extra.get("iterations", 1), 1)
+    ft_sec = med["ref_ft_100k"]
+    allpairs_rate = extra["n_allpairs_1168"] / med["ref_allpairs_1168"]
     out = {
-        "metric": "headline suite wall time (transcript gen+edges+pagerank@1e-6 + driver-table ops)",
+        "metric": (
+            "headline suite wall time (median of "
+            f"{REPEATS} isolated-JVM repeats per query group: transcript "
+            "gen+edges+pagerank@1e-6 + driver-table ops)"
+        ),
         "value": round(total, 3),
         "unit": "sec",
-        "queries": {k: round(v, 3) for k, v in queries.items()},
-        "sf": float(sf),
+        "queries": {k: round(v, 3) for k, v in med.items()},
+        "query_stats": {
+            k: {
+                "median": round(statistics.median(v), 3),
+                "min": round(min(v), 3),
+                "max": round(max(v), 3),
+                "repeats": len(v),
+            }
+            for k, v in times.items()
+        },
+        "sf": float(SF_DIR.rstrip("/").split("sf")[-1]),
+        "isolation": "one subprocess (fresh JVM/SparkSession) per query group",
         "pagerank": {
-            "n_turns": n_turns,
-            "m_edges": m_edges,
-            "iterations": iters,
-            "edges_per_sec_per_core": round(eps_per_core, 1),
+            "n_turns": extra["n_turns"],
+            "m_edges": extra["m_edges"],
+            "iterations": extra["iterations"],
+            "edges_per_sec_per_core": round(edges_processed / pr_sec / CPUS, 1),
             "cores": CPUS,
             "tol": 1e-6,
         },
-        "events_graph_edges": m_events,
+        "events_graph_edges": extra["events_graph_edges"],
         "ref_comparison": {
-            "pairwise_corr_pairs_per_sec": round(n_corr / corr_sec, 1),
+            "pairwise_corr_pairs_per_sec": round(extra["n_corr"] / corr_sec, 1),
             "ref_pairwise_corr_pairs_per_sec": 880000,
             "ref_allpairs_1168_sec": 0.557,
             "ref_ft_1168_sec": 0.167,
         },
         "ft_crossover_100k": {
-            "band_pairs": n_ft_pairs,
-            "band_sec": round(ft_100k_sec, 3),
+            "band_pairs": extra["band_pairs"],
+            "band_sec": round(ft_sec, 3),
             "allpairs_candidates": 100_000 * 99_999 // 2,
-            # extrapolated from this run's measured all-pairs rate at 1,168
+            # extrapolated from THIS run's measured all-pairs rate and count
             "allpairs_extrapolated_sec": round(
-                (100_000 * 99_999 / 2) / (681_528 / queries["ref_allpairs_1168"]), 1
+                (100_000 * 99_999 / 2) / allpairs_rate, 1
             ),
         },
     }
     print(json.dumps(out))
-    spark.stop()
+
+
+def main_child(grp: str):
+    payload = GROUP_FNS[grp]()
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--group":
+        main_child(sys.argv[2])
+    else:
+        main_parent()

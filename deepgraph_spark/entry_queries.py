@@ -216,6 +216,60 @@ def q_top_components_events(spark, sf_dir):
     return sizes.orderBy(F.desc("n"), F.asc("cp")).limit(5)
 
 
+def q_geo_nation(spark, sf_dir):
+    """Geo connector gate: the reference's ``great_circle_dist``
+    (connector_selector_implementations.py:37-67) as a PairPlan connector over
+    deterministic synthetic coordinates derived from nation keys — all-pairs
+    within region, spherical-law-of-cosines distance in km."""
+    from deepgraph_spark.connectors import great_circle_dist
+
+    nation = _t(spark, sf_dir, "nation")
+    v = nation.select(
+        "n_nationkey",
+        "n_regionkey",
+        (F.col("n_nationkey") * 7 % 171 - 85).cast("double").alias("lat"),
+        (F.col("n_nationkey") * 13 % 360 - 180).cast("double").alias("lon"),
+    )
+    e = create_edges(
+        v, [great_circle_dist], index_col="n_nationkey", group_by="n_regionkey"
+    )
+    return e.select(
+        F.col("s").cast("long").alias("s"),
+        F.col("t").cast("long").alias("t"),
+        F.round("gcd", 3).alias("gcd_km"),
+    )
+
+
+def q_cp_intersection_events(spark, sf_dir):
+    """Supernode set-intersection connectors gate: ``cp_node_intersection`` +
+    ``cp_intersection_strength`` (ref connector_selector_implementations.py:
+    70-98) over event-type supernodes whose members are distinct user ids;
+    the (unstorable-as-relation) intersection set itself is dropped via
+    ``no_transfer_rs`` — exactly the reference's mechanism for connectors
+    with helper outputs."""
+    from deepgraph_spark.connectors import (
+        cp_intersection_strength,
+        cp_node_intersection,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    v = ev.groupBy("event_type").agg(
+        F.array_sort(F.collect_set("user_id")).alias("supernode_ids")
+    )
+    e = create_edges(
+        v,
+        [cp_node_intersection, cp_intersection_strength],
+        index_col="event_type",
+        no_transfer_rs=["intsec"],
+    )
+    return e.select(
+        "s",
+        "t",
+        F.col("intsec_card").cast("long").alias("intsec_card"),
+        F.round("intsec_strength", 6).alias("intsec_strength"),
+    )
+
+
 # -- pipeline operators ------------------------------------------------------
 
 def q_exact_dedup_documents(spark, sf_dir):
@@ -236,11 +290,15 @@ def q_ngram_jaccard_documents(spark, sf_dir):
 def q_embedding_neardup(spark, sf_dir):
     """LSH candidate stage (hyperplane buckets, the 100 TB plan) + exact
     cosine verify; the oracle is the exhaustive all-pairs cut — the gate
-    therefore also checks that LSH recall is 1.0 on this data."""
+    therefore also checks that LSH recall is 1.0 on this data. n_tables=48
+    (2x the default) gives the gate margin: per-pair miss probability at the
+    threshold angle is ~1e-6, so a datagen/seed change cannot silently flip
+    the gate on one borderline pair (recall is also asserted explicitly in
+    tests/test_pipeline.py::test_embedding_neardup_gate_recall)."""
     from deepgraph_spark.pipeline import embedding_neardup_pairs
 
     pairs = embedding_neardup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.4, method="lsh"
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, method="lsh", n_tables=48
     )
     return pairs.select("a", "b", F.round("cosine", 6).alias("cosine"))
 
@@ -382,6 +440,33 @@ ORACLES: dict[str, str] = {
         SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
                CAST(DENSE_RANK() OVER (ORDER BY n_regionkey) - 1 AS BIGINT) AS region_label
         FROM nation
+    """,
+    "geo_nation": """
+        WITH v AS (
+            SELECT n_nationkey, n_regionkey,
+                   CAST((n_nationkey * 7) % 171 - 85 AS DOUBLE) AS lat,
+                   CAST((n_nationkey * 13) % 360 - 180 AS DOUBLE) AS lon
+            FROM nation
+        )
+        SELECT CAST(a.n_nationkey AS BIGINT) AS s,
+               CAST(b.n_nationkey AS BIGINT) AS t,
+               ROUND(6371.0 * ACOS(LEAST(GREATEST(
+                   SIN(RADIANS(a.lat)) * SIN(RADIANS(b.lat))
+                   + COS(RADIANS(a.lat)) * COS(RADIANS(b.lat))
+                     * COS(RADIANS(b.lon - a.lon)), -1.0), 1.0)), 3) AS gcd_km
+        FROM v a JOIN v b
+          ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+    """,
+    "cp_intersection_events": """
+        WITH v AS (
+            SELECT event_type, list_sort(list(DISTINCT user_id)) AS ids
+            FROM events GROUP BY event_type
+        )
+        SELECT a.event_type AS s, b.event_type AS t,
+               CAST(len(list_intersect(a.ids, b.ids)) AS BIGINT) AS intsec_card,
+               ROUND(CAST(len(list_intersect(a.ids, b.ids)) AS DOUBLE)
+                     / LEAST(len(a.ids), len(b.ids)), 6) AS intsec_strength
+        FROM v a JOIN v b ON a.event_type < b.event_type
     """,
     "triangles_events": f"""
         WITH e AS (SELECT s, t FROM ({EVENT_EDGES_SQL}))
@@ -730,6 +815,8 @@ QUERIES = {
     "binning_part": q_binning_part,
     "datetime_categories_events": q_datetime_categories_events,
     "supernode_labels_nation": q_supernode_labels_nation,
+    "geo_nation": q_geo_nation,
+    "cp_intersection_events": q_cp_intersection_events,
     "triangles_events": q_triangles_events,
     "cc_events": q_cc_events,
     "sessionize_events": q_sessionize_events,

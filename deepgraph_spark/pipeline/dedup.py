@@ -227,12 +227,44 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     group_cols: list[str] | None = None,
     threshold: float = 0.0,
+    max_block_rows: int | None = 100_000,
 ) -> DataFrame:
     """Token-set Jaccard for all pairs within ``group_cols`` blocks
     (blocking bounds the pair space; SQL-oracle-friendly: pure Column ops).
 
+    The plan is quadratic per block by design; ``max_block_rows`` makes an
+    unbounded block fail loudly (one cheap group-count pass) instead of
+    silently going O(n^2) on a 100 TB corpus — route oversized corpora
+    through :func:`minhash_lsh_dedup` (candidate→verify, never all-pairs).
+    Pass ``max_block_rows=None`` to skip the guard.
+
     Returns (a, b, jaccard) with a < b within each block."""
     group_cols = group_cols or []
+    if max_block_rows is not None:
+        if group_cols:
+            over = (
+                docs.groupBy(*group_cols)
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .where(F.col("__n") > max_block_rows)
+                .limit(1)
+                .collect()
+            )
+            if over:
+                blk = {c: over[0][c] for c in group_cols}
+                raise ValueError(
+                    f"ngram_jaccard_pairs: block {blk} has {over[0]['__n']} rows "
+                    f"> max_block_rows={max_block_rows}; the all-pairs plan is "
+                    "quadratic per block — use minhash_lsh_dedup for unbounded "
+                    "corpora, or raise max_block_rows explicitly"
+                )
+        else:
+            n = docs.count()
+            if n > max_block_rows:
+                raise ValueError(
+                    f"ngram_jaccard_pairs: no group_cols and {n} rows > "
+                    f"max_block_rows={max_block_rows}; the unblocked plan is "
+                    "O(n^2) — use minhash_lsh_dedup, or raise max_block_rows"
+                )
     toks = F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
     base = docs.select(*group_cols, F.col(id_col), toks.alias("toks"))
     left = base.select(*group_cols, F.col(id_col).alias("a"), F.col("toks").alias("ta"))

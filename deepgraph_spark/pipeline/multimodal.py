@@ -1,16 +1,27 @@
-"""Multimodal column plumbing: image/audio/video as opaque ``binary`` columns
-with typed metadata.
+"""Multimodal columns: image/audio/video as opaque ``binary`` columns with
+typed metadata, decoded and feature-extracted inside Arrow batches.
 
-The decode step is STUBBED (no image/audio libraries in this container):
-``fake=True`` produces deterministic hash-derived features so the Spark-side
-plumbing — schema, partitioning, Arrow batch shape, UDF signatures — is real
-and tested; ``fake=False`` raises NotImplementedError at the exact point a
-real decoder (PIL / torchaudio / pyav) would plug in.
+Two real, dependency-free decoders run on ``fake=False`` (no PIL/torchaudio/
+pyav in this container, so the formats are ones a few dozen lines of numpy
+parse exactly):
+
+* **image / codec="ppm"** — binary PPM (P6, maxval 255): header parse +
+  reshape to (h, w, 3), nearest-neighbor resize to a fixed grid, grayscale
+  flatten as the feature vector.
+* **audio / codec="wav"** — RIFF/WAVE PCM 16-bit: chunk walk to the ``data``
+  chunk, int16 → float, per-window RMS envelope as the feature vector.
+
+Every other (media_type, codec) raises ``NotImplementedError`` at the exact
+point a richer decoder would plug in. ``fake=True`` keeps the deterministic
+hash-derived stub for plumbing tests. The Spark side — binary columns,
+metadata struct, ``mapInPandas`` Arrow batches, output schema — is identical
+on every path.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import numpy as np
 import pandas as pd
@@ -38,22 +49,125 @@ ASSET_SCHEMA = T.StructType(
 )
 
 
-def synthetic_assets(spark, n: int = 100, seed: int = 42) -> DataFrame:
-    """Deterministic fake asset table exercising the binary column path."""
-    rng = np.random.default_rng(seed)
-    rows = []
-    for i in range(n):
-        mt = ["image", "audio", "video"][i % 3]
-        payload = rng.integers(0, 256, size=64, dtype=np.uint8).tobytes()
-        rows.append(
-            (
-                i,
-                mt,
-                bytearray(payload),
-                (64, 48, 1000 + i, "fake") if mt != "image" else (64, 48, None, "png"),
-            )
-        )
-    return spark.createDataFrame(rows, ASSET_SCHEMA)
+# ---------------------------------------------------------------------------
+# codecs (numpy-only; exact for PPM P6 / WAV PCM16)
+# ---------------------------------------------------------------------------
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → binary PPM (P6, maxval 255)."""
+    img = np.asarray(img, dtype=np.uint8)
+    h, w, c = img.shape
+    assert c == 3, "PPM P6 is RGB"
+    return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    """Binary PPM (P6, maxval 255, '#' comments allowed) → (h, w, 3) uint8."""
+    if not data.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    # header = magic, width, height, maxval as whitespace-separated tokens,
+    # with optional '#' comment lines; pixel data starts after ONE whitespace
+    # byte following maxval
+    tokens, i = [], 2
+    while len(tokens) < 3:
+        while i < len(data) and data[i : i + 1].isspace():
+            i += 1
+        if data[i : i + 1] == b"#":
+            while i < len(data) and data[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(data) and not data[j : j + 1].isspace():
+            j += 1
+        tokens.append(int(data[i:j]))
+        i = j
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise NotImplementedError("only maxval=255 PPM supported")
+    i += 1  # single whitespace after maxval
+    px = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=i)
+    return px.reshape(h, w, 3)
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize — index arithmetic only, no interpolation libs."""
+    h, w = img.shape[:2]
+    rows = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    cols = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return img[rows][:, cols]
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """float [-1, 1] (or int16) mono samples → RIFF/WAVE PCM16."""
+    s = np.asarray(samples)
+    if s.dtype.kind == "f":
+        s = np.clip(s, -1.0, 1.0)
+        s = (s * 32767.0).astype(np.int16)
+    else:
+        s = s.astype(np.int16)
+    data = s.tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, 1, rate, rate * 2, 2, 16,
+        b"data", len(data),
+    )
+    return hdr + data
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM16 → (float64 samples in [-1, 1], sample_rate). Walks the
+    chunk list (extra chunks like LIST are skipped), mono or first channel."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i, rate, n_ch, bits, raw = 12, None, 1, 16, None
+    while i + 8 <= len(data):
+        cid, sz = data[i : i + 4], struct.unpack("<I", data[i + 4 : i + 8])[0]
+        body = data[i + 8 : i + 8 + sz]
+        if cid == b"fmt ":
+            fmt, n_ch, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if fmt != 1 or bits != 16:
+                raise NotImplementedError("only PCM16 WAV supported")
+        elif cid == b"data":
+            raw = body
+        i += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if raw is None or rate is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    s = np.frombuffer(raw, dtype=np.int16)
+    if n_ch > 1:
+        s = s[::n_ch]
+    return s.astype(np.float64) / 32768.0, rate
+
+
+# ---------------------------------------------------------------------------
+# feature extraction per modality (pure numpy, fixed output dim)
+# ---------------------------------------------------------------------------
+
+def _image_features(payload: bytes, dim: int) -> np.ndarray:
+    """Decode → nearest-neighbor resize to a ~sqrt(dim) grid → grayscale
+    flatten, padded/truncated to exactly ``dim`` (in [0, 1])."""
+    img = decode_ppm(payload)
+    side = max(int(np.sqrt(dim)), 1)
+    small = resize_nearest(img, side, side).astype(np.float64)
+    gray = (small @ np.array([0.299, 0.587, 0.114])) / 255.0
+    flat = gray.ravel()
+    out = np.zeros(dim)
+    out[: min(dim, flat.size)] = flat[:dim]
+    return out
+
+def _audio_features(payload: bytes, dim: int) -> np.ndarray:
+    """Decode → per-window RMS envelope over ``dim`` equal windows."""
+    s, _rate = decode_wav(payload)
+    if s.size == 0:
+        return np.zeros(dim)
+    edges = np.linspace(0, s.size, dim + 1).astype(int)
+    return np.array(
+        [
+            np.sqrt(np.mean(s[a:b] ** 2)) if b > a else 0.0
+            for a, b in zip(edges[:-1], edges[1:])
+        ]
+    )
 
 
 def _fake_features(payload: bytes, dim: int) -> np.ndarray:
@@ -62,22 +176,69 @@ def _fake_features(payload: bytes, dim: int) -> np.ndarray:
     return np.random.default_rng(seed).standard_normal(dim)
 
 
+# ---------------------------------------------------------------------------
+# synthetic asset tables
+# ---------------------------------------------------------------------------
+
+def synthetic_assets(spark, n: int = 100, seed: int = 42, real: bool = False) -> DataFrame:
+    """Deterministic asset table exercising the binary column path.
+
+    ``real=False``: opaque random payloads (plumbing tests, fake features).
+    ``real=True``: decodable payloads — PPM images and PCM16 WAV audio —
+    with matching metadata (video stays opaque: no dependency-free codec)."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        mt = ["image", "audio", "video"][i % 3]
+        if real and mt == "image":
+            img = rng.integers(0, 256, size=(12, 16, 3), dtype=np.uint8)
+            payload, meta = encode_ppm(img), (16, 12, None, "ppm")
+        elif real and mt == "audio":
+            t = np.arange(1600) / 16000.0
+            wave = 0.5 * np.sin(2 * np.pi * (200 + 50 * (i % 5)) * t)
+            payload, meta = encode_wav(wave), (None, None, 100, "wav")
+        else:
+            payload = rng.integers(0, 256, size=64, dtype=np.uint8).tobytes()
+            meta = (64, 48, 1000 + i, "fake") if mt != "image" else (64, 48, None, "png")
+        rows.append((i, mt, bytearray(payload), meta))
+    return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Spark operators
+# ---------------------------------------------------------------------------
+
 def extract_features(
     assets: DataFrame, *, dim: int = 16, fake: bool = True, batch_size: int = 256
 ) -> DataFrame:
     """Decode + feature-extract over the binary column (mapInPandas, Arrow
-    batches). Returns (asset_id, media_type, features array<double>)."""
+    batches). Returns (asset_id, media_type, features array<double>).
+
+    ``fake=False`` decodes for real: PPM images and PCM16 WAV audio (see
+    module docstring); any other (media_type, codec) raises
+    NotImplementedError inside the task — fail loud, not wrong."""
 
     def batch(it):
         for pdf in it:
-            if not fake:
-                raise NotImplementedError(
-                    "real decoders (PIL/torchaudio/pyav) are not available in "
-                    "this container; pass fake=True for the deterministic stub"
-                )
-            feats = [
-                _fake_features(bytes(b), dim).tolist() for b in pdf["media"].values
-            ]
+            feats = []
+            for b, mt, meta in zip(
+                pdf["media"].values, pdf["media_type"].values, pdf["meta"].values
+            ):
+                payload = bytes(b)
+                if fake:
+                    feats.append(_fake_features(payload, dim).tolist())
+                    continue
+                codec = (meta["codec"] if meta is not None else None) or ""
+                if mt == "image" and codec == "ppm":
+                    feats.append(_image_features(payload, dim).tolist())
+                elif mt == "audio" and codec == "wav":
+                    feats.append(_audio_features(payload, dim).tolist())
+                else:
+                    raise NotImplementedError(
+                        f"no dependency-free decoder for media_type={mt!r} "
+                        f"codec={codec!r}; supported real paths: image/ppm, "
+                        "audio/wav (richer codecs need PIL/torchaudio/pyav)"
+                    )
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"].values,
@@ -86,14 +247,14 @@ def extract_features(
                 }
             )
 
-    return assets.select("asset_id", "media_type", "media").mapInPandas(
+    return assets.select("asset_id", "media_type", "media", "meta").mapInPandas(
         batch, "asset_id long, media_type string, features array<double>"
     )
 
 
 def frame_sample(assets: DataFrame, *, every_ms: int = 500, fake: bool = True) -> DataFrame:
     """Video frame sampling stub: one row per sampled frame with the frame
-    timestamp; payload decode stubbed as above."""
+    timestamp; payload decode stubbed (no dependency-free video codec)."""
 
     def batch(it):
         for pdf in it:

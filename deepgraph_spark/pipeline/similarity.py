@@ -95,55 +95,50 @@ def ann_topk_lsh(
     n_planes: int = 8,
     n_tables: int = 4,
     seed: int = 42,
-    dim: int | None = None,
 ) -> DataFrame:
     """LSH-bucketed approximate top-k: random-hyperplane signatures over
     ``n_tables`` tables; candidates = bucket collisions; exact cosine re-rank
-    within candidates. Recall measured in tests vs the brute-force baseline."""
-    if dim is None:
-        first = corpus.select(vec_col).first()
-        dim = len(first[0])
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_tables, n_planes, dim))
-    bp = corpus.sparkSession.sparkContext.broadcast(planes)
+    within candidates. Recall measured in tests vs the brute-force baseline.
 
-    def bucketize(it):
-        pl = bp.value
-        for pdf in it:
-            m = np.array([np.asarray(x, dtype=np.float64) for x in pdf[vec_col].values])
-            nm = m / np.linalg.norm(m, axis=1, keepdims=True)
-            out = []
-            for t in range(pl.shape[0]):
-                bits = (nm @ pl[t].T) > 0  # (B, planes)
-                sig = bits @ (1 << np.arange(pl.shape[1]))
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "vid": pdf[id_col].values,
-                            "table": t,
-                            "bucket": sig.astype(np.int64),
-                            "nv": [row.tolist() for row in nm],
-                        }
-                    )
-                )
-            yield pd.concat(out, ignore_index=True)
+    Narrow-bucket shape (the same candidate→verify design as
+    :func:`~deepgraph_spark.pipeline.dedup.embedding_neardup_pairs`): bucket
+    rows carry only ``(id, table, bucket)`` — no vector payload rides the
+    ``n_tables``-times-replicated bucket shuffle — candidate pairs are
+    deduplicated across tables *before* any cosine evaluates, and the vectors
+    join in exactly once, at the verify stage."""
+    from deepgraph_spark.pipeline.dedup import _emb_base, _hyperplane_buckets
 
-    buckets = corpus.select(id_col, vec_col).mapInPandas(
-        bucketize, "vid long, table int, bucket long, nv array<double>"
+    buckets = _hyperplane_buckets(
+        corpus, vec_col=vec_col, id_col=id_col, n_planes=n_planes,
+        n_tables=n_tables, seed=seed,
     )
-    left = buckets.select(F.col("vid").alias("query_id"), "table", "bucket", F.col("nv").alias("qv"))
-    right = buckets.select(F.col("vid").alias("neighbor_id"), "table", "bucket", F.col("nv").alias("cv"))
-    cos = F.aggregate(F.zip_with("qv", "cv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    left = buckets.select(F.col("vid").alias("query_id"), "table", "bucket")
+    right = buckets.select(F.col("vid").alias("neighbor_id"), "table", "bucket")
     cands = (
         left.join(right, ["table", "bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    base = _emb_base(corpus, vec_col, id_col, [])
+    qa = base.select(
+        F.col(id_col).alias("query_id"), F.col("rv").alias("qv"), F.col("ss").alias("qs")
+    )
+    cb = base.select(
+        F.col(id_col).alias("neighbor_id"), F.col("rv").alias("cv"), F.col("ss").alias("cs")
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    cos = dot / (F.sqrt("qs") * F.sqrt("cs"))
+    scored = (
+        cands.join(qa, "query_id")
+        .join(cb, "neighbor_id")
         .select("query_id", "neighbor_id", cos.alias("cosine"))
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.first("cosine").alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc(F.round("cosine", 6)), F.asc("neighbor_id"))
     return (
-        cands.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
     )

@@ -5,9 +5,16 @@ pushdown (`v.select(key, where=..., columns=...)`,
 iterators_and_indexers.py:219-221); the Spark-native analog is a table scan
 with column pruning + predicate pushdown, plus a declared sort order so the
 fast-track feature's sortedness precondition (deepgraph.py:1046-1050) holds
-physically. Iceberg gives that via table sort orders and hidden
-partitioning; without the runtime jar we fall back to partitioned,
-sorted-within-partition parquet behind the same interface.
+physically.
+
+THE TESTED DESIGN IS THE PARQUET LAYOUT: partitioned, sorted-within-partition
+files written by :func:`write_table` / :func:`write_transcripts` (layout
+asserted in tests/test_sources.py). An Iceberg catalog — which would add
+hidden partitioning and *declared* sort orders on top of the same physical
+idea — is supported only as a thin ``spark.read.table``/``writeTo``
+passthrough taken when the runtime jar is actually on the classpath
+(:func:`iceberg_available`); the jar is absent in this environment, so that
+branch is deliberately minimal and NOT exercised by the test suite.
 """
 
 from __future__ import annotations

@@ -93,6 +93,18 @@ def test_ngram_jaccard(spark, docs):
     assert (got.a.map(src).values == got.b.map(src).values).all()
 
 
+def test_ngram_jaccard_block_guard(spark, docs):
+    """An oversized block must fail loudly instead of silently going O(n^2)."""
+    with pytest.raises(ValueError, match="max_block_rows"):
+        ngram_jaccard_pairs(docs, group_cols=["source"], max_block_rows=10).count()
+    with pytest.raises(ValueError, match="max_block_rows"):
+        ngram_jaccard_pairs(docs, max_block_rows=10).count()
+    # an explicit opt-out (or a generous bound) keeps the blocked plan usable
+    assert ngram_jaccard_pairs(
+        docs, group_cols=["source"], max_block_rows=None, threshold=0.5
+    ).count() >= 0
+
+
 def test_embedding_neardup_and_ann(spark, emb):
     pdf = emb.toPandas()
     m = np.array([np.asarray(x, dtype=np.float64) for x in pdf.embedding.values])
@@ -123,6 +135,20 @@ def test_embedding_neardup_and_ann(spark, emb):
     order = np.argsort([(-round(sims[0, j], 6), ids[j]) if j != 0 else (9, 0) for j in range(len(ids))], axis=0)
     exp_ids = [ids[j] for j in np.lexsort((ids, -np.round(sims[0], 6))) if j != 0][:5]
     assert sub.neighbor_id.tolist() == exp_ids
+
+
+def test_embedding_neardup_gate_recall(spark, emb):
+    """The gate query's LSH settings (n_planes=3, n_tables=48, seed=7) must
+    reach recall 1.0 vs the exhaustive cut at threshold 0.4 — the driver
+    oracle is exhaustive, so anything below 1.0 would fail the gate."""
+    exact = embedding_neardup_pairs(emb, threshold=0.4, method="exact").toPandas()
+    lsh = embedding_neardup_pairs(
+        emb, threshold=0.4, method="lsh", n_tables=48
+    ).toPandas()
+    exact_pairs = set(map(tuple, exact[["a", "b"]].values))
+    lsh_pairs = set(map(tuple, lsh[["a", "b"]].values))
+    recall = len(exact_pairs & lsh_pairs) / max(len(exact_pairs), 1)
+    assert recall == 1.0, f"gate-setting LSH recall {recall} < 1.0"
 
 
 def test_ann_lsh_recall(spark, emb):
@@ -177,6 +203,54 @@ def test_multimodal_stub(spark):
     assert (m1.sort_index() == m2.sort_index()).all()
     frames = frame_sample(assets, every_ms=250).toPandas()
     assert (frames.frame_ms % 250 == 0).all()
+    with pytest.raises(Exception, match="NotImplementedError|decoder"):
+        extract_features(assets, fake=False).count()
+
+
+def test_multimodal_codecs_roundtrip():
+    """PPM and WAV codecs are exact inverses (numpy-only, no decoder libs)."""
+    from deepgraph_spark.pipeline.multimodal import (
+        decode_ppm,
+        decode_wav,
+        encode_ppm,
+        encode_wav,
+        resize_nearest,
+    )
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
+    assert (decode_ppm(encode_ppm(img)) == img).all()
+    # comment lines in the header are legal PPM
+    with_comment = b"P6\n# a comment\n7 9\n255\n" + img.tobytes()
+    assert (decode_ppm(with_comment) == img).all()
+    small = resize_nearest(img, 3, 3)
+    assert small.shape == (3, 3, 3)
+
+    s = np.sin(np.arange(800) / 10.0) * 0.25
+    dec, rate = decode_wav(encode_wav(s, rate=8000))
+    assert rate == 8000
+    assert np.abs(dec - s).max() < 1e-4  # int16 quantization only
+
+
+def test_multimodal_real_decode(spark):
+    """fake=False end-to-end through extract_features on real PPM/WAV
+    payloads — decode + feature extraction inside the Arrow batches."""
+    from deepgraph_spark.pipeline.multimodal import _audio_features, _image_features
+
+    assets = synthetic_assets(spark, n=12, real=True)
+    decodable = assets.where(F.col("media_type") != "video")
+    feats = extract_features(decodable, dim=9, fake=False).toPandas()
+    assert len(feats) == 8  # 4 images + 4 audio of the 12
+    assert all(len(f) == 9 for f in feats.features)
+    # spot-check against driver-side numpy on the same payloads
+    raw = decodable.select("asset_id", "media_type", "media").toPandas()
+    for r in raw.itertuples():
+        got = np.array(feats.set_index("asset_id").loc[r.asset_id, "features"])
+        fn = _image_features if r.media_type == "image" else _audio_features
+        np.testing.assert_allclose(got, fn(bytes(r.media), 9), atol=1e-12)
+    # image features are grayscale in [0,1]; audio features are RMS >= 0
+    assert (np.concatenate(feats.features.values) >= 0).all()
+    # video (no codec) still fails loudly on the real path
     with pytest.raises(Exception, match="NotImplementedError|decoder"):
         extract_features(assets, fake=False).count()
 

@@ -60,9 +60,19 @@ sections.append(("Winnowing fingerprints (k-gram hash + window-min)", cap(doc_fi
 on doc_id), never a global sort; distinct closes the plan."""))
 
 # pagerank superstep plan: build manually one superstep
-from deepgraph_spark.transcripts import build_turn_graph
+from deepgraph_spark.transcripts import build_turn_graph, turn_vertices
 from deepgraph_spark.datagen import generate_transcripts
 tr = generate_transcripts(spark, 2000, seed=42)
+
+sections.append(("Flagship turn-vertex ids (build_turn_graph entry)", cap(turn_vertices(tr)),
+"""Conversation ranks come from with_dense_index: rangepartitioning exchange
+over the conv dimension + partition-offset map arithmetic — NO
+single-partition exchange anywhere (the round-2 plan had `Window [dense_rank]
+... Exchange SinglePartition`, a whole-dimension serial sort; grep this plan:
+every Exchange is rangepartitioning or hashpartitioning). The rank table
+joins back onto turns via an AQE-decided join — broadcast only when the conv
+dimension is actually small, shuffle join at the 10^10-conversation scale."""))
+
 g = build_turn_graph(tr, tau_seconds=120)
 edges = g.e.select("s","t")
 from deepgraph_spark.algorithms.pagerank import pagerank
