@@ -2,8 +2,11 @@
 
 ``entry(spark)`` runs the flagship query on sf0.001; ``queries()`` /
 ``oracle_sql()`` expose every implemented operator from SURVEY.md §2 — all
-27 queries carry a full DuckDB value oracle, including the iterative kernels
-(unrolled fixed-iteration power iteration / LPA) and the hash sketches
+32 queries carry a full DuckDB value oracle, including the iterative kernels
+(unrolled fixed-iteration power iteration / LPA), the Structured Streaming
+sessionizer (bounded availableNow replay of the real streaming query vs the
+strict-gap window oracle), the corpus-curation family (decontamination /
+hash split / shard packing / PII redaction), and the hash sketches
 (shared 60-bit MD5 hash family mirrors simhash, winnowing fingerprints, and
 the complete MinHash-LSH band pipeline engine-for-engine)."""
 

@@ -151,8 +151,10 @@ def group_events() -> dict:
 
 
 def group_docs() -> dict:
+    from pyspark.sql import functions as F
+
     from deepgraph_spark.entry_queries import q_ngram_jaccard_documents
-    from deepgraph_spark.pipeline import minhash_lsh_dedup
+    from deepgraph_spark.pipeline import decontaminate, minhash_lsh_dedup, pack_shards
 
     spark = _session("docs")
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
@@ -164,6 +166,18 @@ def group_docs() -> dict:
         ),
         "ngram_jaccard": _repeat(
             lambda: q_ngram_jaccard_documents(spark, SF_DIR).count()
+        ),
+        "decontaminate": _repeat(
+            lambda: decontaminate(
+                docs.where(F.col("doc_id") % 17 != 0),
+                docs.where(F.col("doc_id") % 17 == 0),
+                k=8,
+            ).count()
+        ),
+        "pack_shards": _repeat(
+            lambda: pack_shards(
+                docs.select("doc_id", "text"), budget=2000, order_by=["doc_id"]
+            ).count()
         ),
     }
     return {"times": times, "extra": {}}

@@ -385,6 +385,102 @@ def q_doc_fingerprints(spark, sf_dir):
     return fp.select(F.col("doc_id").cast("long").alias("doc_id"), "fingerprint")
 
 
+def q_stream_sessionize_events(spark, sf_dir):
+    """Streaming-surface gate: run the REAL Structured Streaming session
+    query (native merging session windows, append mode, availableNow
+    trigger) over the events table via :func:`sessionize_replay`, and
+    value-match its emitted sessions against the strict-gap SQL oracle —
+    streaming == batch, checked by the driver, not just pytest."""
+    from deepgraph_spark.streaming.sessions import sessionize_replay
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    out = sessionize_replay(ev, gap_seconds=1800)
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.unix_micros(F.col("session_start").cast("timestamp")).alias("start_us"),
+        F.unix_micros(F.col("session_end").cast("timestamp")).alias("end_us"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+def q_decontaminate_documents(spark, sf_dir):
+    """Benchmark decontamination gate: eval set = every 17th doc, corpus =
+    the rest; per-doc distinct 8-gram overlap with the eval gram set (the
+    corpus carries exact duplicates, so collisions are real)."""
+    from deepgraph_spark.pipeline import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 17 != 0)
+    eval_set = docs.where(F.col("doc_id") % 17 == 0)
+    out = decontaminate(corpus, eval_set, k=8)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_contaminated").cast("long").alias("n_contaminated"),
+        F.round("contamination_ratio", 6).alias("contamination_ratio"),
+    )
+
+
+def q_hash_split_documents(spark, sf_dir):
+    """Deterministic train/val/test split gate: md5-bucket assignment
+    (content-independent, stable under corpus growth), 90/5/5."""
+    from deepgraph_spark.pipeline import hash_split
+
+    out = hash_split(_t(spark, sf_dir, "documents"), seed=42)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), "split")
+
+
+def q_pack_shards_documents(spark, sf_dir):
+    """Token-budget shard packing gate: distributed prefix sum (range layout
+    + partition offsets + one Arrow pass) vs the oracle's global window —
+    shard = floor(exclusive running token sum / 2000) in doc_id order."""
+    from deepgraph_spark.pipeline import pack_shards
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = pack_shards(docs, budget=2000, order_by=["doc_id"])
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), "shard")
+
+
+def q_redact_pii_documents(spark, sf_dir):
+    """PII redaction gate over deterministically injected PII (the synthetic
+    corpus itself is clean): emails on every 7th doc, an IPv4 + phone on
+    every 5th; counts on the original text, sequenced regexp_replace."""
+    from deepgraph_spark.pipeline import redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@mail.example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" from 10.1.2."),
+                    (F.col("doc_id") % 250).cast("string"),
+                    F.lit(" tel +14155550"),
+                    (F.col("doc_id") % 100).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = redact_pii(injected)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "text_redacted",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB dialect; views pre-registered by the driver)
 # ---------------------------------------------------------------------------
@@ -806,6 +902,121 @@ ORACLES["doc_fingerprints"] = f"""
 """
 
 
+ORACLES["stream_sessionize_events"] = """
+    WITH g AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) IS NULL
+                      OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts) AS sess
+        FROM g
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(MIN(epoch_us(ts)) AS BIGINT) AS start_us,
+           CAST(MAX(epoch_us(ts)) + 1800000000 AS BIGINT) AS end_us,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sess
+"""
+
+ORACLES["decontaminate_documents"] = """
+    WITH cg0 AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents WHERE doc_id % 17 != 0
+    ),
+    cg1 AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= 8
+                    THEN list_transform(range(len(toks) - 7),
+                         j -> array_to_string(list_slice(toks, j + 1, j + 8), ' '))
+                    ELSE [array_to_string(toks, ' ')] END AS grams
+        FROM cg0
+    ),
+    cg AS (
+        SELECT DISTINCT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gh
+        FROM (SELECT doc_id, unnest(grams) AS gram FROM cg1)
+    ),
+    eg0 AS (
+        SELECT string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents WHERE doc_id % 17 = 0
+    ),
+    eg1 AS (
+        SELECT CASE WHEN len(toks) >= 8
+                    THEN list_transform(range(len(toks) - 7),
+                         j -> array_to_string(list_slice(toks, j + 1, j + 8), ' '))
+                    ELSE [array_to_string(toks, ' ')] END AS grams
+        FROM eg0
+    ),
+    eg AS (
+        SELECT DISTINCT ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gh
+        FROM (SELECT unnest(grams) AS gram FROM eg1)
+    ),
+    tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM cg GROUP BY doc_id),
+    hit AS (
+        SELECT cg.doc_id, COUNT(*) AS n_contaminated
+        FROM cg JOIN eg USING (gh) GROUP BY cg.doc_id
+    )
+    SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+           CAST(t.n_grams AS BIGINT) AS n_grams,
+           CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+           ROUND(CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE) / t.n_grams, 6)
+               AS contamination_ratio
+    FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+"""
+
+ORACLES["hash_split_documents"] = """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CASE WHEN b < 9000 THEN 'train'
+                WHEN b < 9500 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT doc_id,
+               ('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 15))::BIGINT % 10000 AS b
+        FROM documents
+    )
+"""
+
+ORACLES["pack_shards_documents"] = """
+    WITH d AS (
+        SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS sz
+        FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST((SUM(sz) OVER (ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - sz) // 2000 AS BIGINT) AS shard
+    FROM d
+"""
+
+ORACLES["redact_pii_documents"] = """
+    WITH inj AS (
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 7 = 0
+                       THEN ' contact user' || doc_id::VARCHAR || '@mail.example.com'
+                       ELSE '' END
+               || CASE WHEN doc_id % 5 = 0
+                       THEN ' from 10.1.2.' || (doc_id % 250)::VARCHAR
+                            || ' tel +14155550' || (doc_id % 100)::VARCHAR
+                       ELSE '' END AS text
+        FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}', '<IPV4>', 'g'),
+               '\\+\\d{9,14}', '<PHONE>', 'g') AS text_redacted,
+           CAST(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text,
+               '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}')) AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(text, '\\+\\d{9,14}')) AS BIGINT) AS n_phone
+    FROM inj
+"""
+
+
 QUERIES = {
     "edges_ft_events": q_edges_ft_events,
     "edges_allpairs_nation": q_edges_allpairs_nation,
@@ -834,4 +1045,9 @@ QUERIES = {
     "neardup_clusters": q_neardup_clusters,
     "simhash_documents": q_simhash_documents,
     "doc_fingerprints": q_doc_fingerprints,
+    "stream_sessionize_events": q_stream_sessionize_events,
+    "decontaminate_documents": q_decontaminate_documents,
+    "hash_split_documents": q_hash_split_documents,
+    "pack_shards_documents": q_pack_shards_documents,
+    "redact_pii_documents": q_redact_pii_documents,
 }

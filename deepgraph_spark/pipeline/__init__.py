@@ -3,6 +3,12 @@ text analysis, multimodal plumbing) — first-class components alongside the
 link-graph engine, all expressed as declarative DataFrame plans or
 Arrow-vectorized pandas stages."""
 
+from deepgraph_spark.pipeline.curation import (
+    decontaminate,
+    hash_split,
+    pack_shards,
+    redact_pii,
+)
 from deepgraph_spark.pipeline.dedup import (
     embedding_neardup_pairs,
     exact_dedup,
@@ -32,4 +38,8 @@ __all__ = [
     "text_quality",
     "lang_id",
     "doc_fingerprints",
+    "decontaminate",
+    "hash_split",
+    "pack_shards",
+    "redact_pii",
 ]

@@ -1,0 +1,235 @@
+"""Corpus-curation operators for training-data pipelines: benchmark
+decontamination, deterministic train/val/test splits, token-budget shard
+packing, and PII redaction.
+
+These extend the reference's data-processing surface (the reference is a
+single-node pandas engine; deepgraph.py has no corpus tooling) with the
+operations a 100 TB text corpus actually needs before training. Every
+operator is a declarative DataFrame plan — narrow shuffle rows, no
+driver-side loops over data — except the one-pass Arrow stage in
+:func:`pack_shards`, whose sequential running sum is exactly the part SQL
+window semantics cannot distribute without a second shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from deepgraph_spark.pipeline.dedup import hash60
+
+_WS = r"\s+"
+
+
+def _token_kgrams(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    """(id, gram) rows: whitespace-token ``k``-grams; documents shorter than
+    ``k`` tokens contribute their whole text as one gram (same convention as
+    :func:`~deepgraph_spark.pipeline.textstats.doc_fingerprints`)."""
+    toks = F.split(F.trim(F.col(text_col)), _WS)
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda j: F.concat_ws(" ", F.slice(toks, j + 1, k)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return df.select(F.col(id_col), F.explode(grams).alias("gram"))
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    *,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str | None = None,
+) -> DataFrame:
+    """Benchmark decontamination by token ``k``-gram overlap (the standard
+    n-gram-collision check training pipelines run against held-out eval
+    suites): for every corpus document, how many of its distinct token
+    k-grams also occur anywhere in ``eval_set``.
+
+    Returns one row per corpus document:
+    ``(id, n_grams, n_contaminated, contamination_ratio)`` — ratio of the
+    document's distinct gram set that collides with the eval gram set.
+    Filter ``contamination_ratio >= tau`` downstream to drop documents.
+
+    Scale shape: grams are hashed to 60-bit longs *before* any join, so only
+    ``(doc_id, hash)`` pairs ride the shuffles — never gram strings. The eval
+    side reduces to a distinct hash set; benchmark suites are orders of
+    magnitude smaller than a crawl corpus, so AQE broadcasts that side on its
+    own — no forced-broadcast hint (an adversarially large eval set degrades
+    to a shuffle join instead of an OOM).
+    """
+    cg = (
+        _token_kgrams(corpus, text_col, id_col, k)
+        .select(F.col(id_col), hash60(F.col("gram")).alias("gh"))
+        .distinct()
+    )
+    eg = (
+        _token_kgrams(eval_set, eval_text_col or text_col, id_col, k)
+        .select(hash60(F.col("gram")).alias("gh"))
+        .distinct()
+    )
+    totals = cg.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = cg.join(eg, "gh").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_contaminated")
+    )
+    return (
+        totals.join(hits, id_col, "left")
+        .fillna(0, subset=["n_contaminated"])
+        .select(
+            id_col,
+            "n_grams",
+            "n_contaminated",
+            (F.col("n_contaminated").cast("double") / F.col("n_grams")).alias(
+                "contamination_ratio"
+            ),
+        )
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    seed: int = 42,
+    split_col: str = "split",
+    resolution: int = 10_000,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content-independent id
+    hash: ``bucket = hash60(id || ':' || seed) % resolution``, buckets carved
+    into ranges by cumulative weight.
+
+    The properties that matter in a pipeline: (1) stable — a document keeps
+    its split across reruns, repartitions, and corpus growth (no global sort,
+    no sampling RNG state); (2) embarrassingly parallel — one Column
+    expression, no shuffle at all; (3) oracle-able — the md5-based
+    :func:`hash60` has an exact DuckDB twin.
+    """
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    bucket = hash60(
+        F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))
+    ) % resolution
+    expr = None
+    acc = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        acc += w / total
+        cond = bucket < int(round(acc * resolution))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn(split_col, expr)
+
+
+def pack_shards(
+    df: DataFrame,
+    *,
+    budget: int,
+    order_by=None,
+    size_col: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Token-budget shard packing: assign each document a shard id so that
+    consecutive documents (in ``order_by`` order) fill ~``budget`` tokens per
+    shard — the write-side layout step before training-data serialization.
+
+    Definition (SQL-window-equivalent, so it holds bit-for-bit against an
+    oracle): ``shard = floor(exclusive_running_sum(size) / budget)``. A
+    document straddling a boundary belongs to the shard where it starts.
+
+    Scale shape — a distributed prefix sum, NOT a global window: (1) one
+    range partition + in-partition sort pins global order (same layout trick
+    as :func:`~deepgraph_spark.core.with_dense_index`); (2) per-partition
+    size totals (a tiny aggregate, <=1 row per partition) become cumulative
+    offsets entering the plan as a closure constant; (3) a single Arrow pass
+    adds ``offset[partition] + local running sum`` — batches of a partition
+    stream through ``mapInPandas`` in sorted order, so the running sum never
+    leaves the executor and NOTHING shuffles after the initial range
+    exchange. A plain ``sum() OVER (ORDER BY ...)`` would instead serialize
+    the whole corpus through one task.
+    """
+    order_by = order_by or [id_col]
+    size_expr = (
+        F.col(size_col)
+        if size_col
+        else F.size(F.split(F.trim(F.col(text_col)), _WS))
+    )
+    s1 = (
+        df.withColumn("__sz", size_expr.cast("long"))
+        .repartitionByRange(*order_by)
+        .sortWithinPartitions(*order_by)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    parts = s1.groupBy("__pid").agg(F.sum("__sz").alias("__t")).collect()
+    offsets: dict[int, int] = {}
+    acc = 0
+    for row in sorted(parts, key=lambda r: r["__pid"]):
+        offsets[int(row["__pid"])] = acc
+        acc += int(row["__t"])
+
+    fields = [f for f in s1.schema.fields if f.name not in ("__pid", "__sz")]
+    out_schema = T.StructType(fields + [T.StructField(shard_col, T.LongType())])
+    out_cols = [f.name for f in fields]
+    bud = int(budget)
+
+    def pack(it):
+        running = None
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            if running is None:
+                running = offsets.get(int(pdf["__pid"].iloc[0]), 0)
+            sz = pdf["__sz"].astype("int64")
+            start = sz.cumsum() - sz + running  # exclusive running sum
+            running += int(sz.sum())
+            out = pdf[out_cols].copy()
+            out[shard_col] = (start // bud).astype("int64")
+            yield out
+
+    return s1.mapInPandas(pack, out_schema)
+
+
+# (name, regex) — RE2/Java-compatible syntax so the Spark plan and the DuckDB
+# oracle compile the same automaton; replacement token is <NAME>.
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"),
+    ("phone", r"\+\d{9,14}"),
+]
+
+
+def redact_pii(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    patterns: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Redact PII-shaped substrings (emails, IPv4 addresses, international
+    phone numbers by default) and count matches per category.
+
+    Returns ``(id, text_redacted, n_<category>...)``. Counts are taken on the
+    ORIGINAL text; replacements apply in pattern order (emails first, so an
+    address's host part is gone before the looser patterns run). Pure Column
+    expressions — whole-stage codegen, no shuffle, no Python.
+    """
+    pats = patterns or PII_PATTERNS
+    counts = [
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))).alias(
+            f"n_{name}"
+        )
+        for name, pat in pats
+    ]
+    out_text = F.col(text_col)
+    for name, pat in pats:
+        out_text = F.regexp_replace(out_text, pat, f"<{name.upper()}>")
+    return docs.select(F.col(id_col), out_text.alias("text_redacted"), *counts)

@@ -131,3 +131,52 @@ def test_stream_sessionize_equals_batch(spark, tmp_path):
     assert got.user_id.tolist() == exp.user_id.tolist()
     assert got.n_events.tolist() == exp.n_events.tolist()
     assert (got.session_start.values == exp.session_start.values).all()
+
+
+def test_sessionize_replay_exact_gap_boundary(spark, tmp_path):
+    """sessionize_replay end-to-end + the boundary convention the SQL oracle
+    assumes (established empirically here): an event at EXACTLY
+    prev + gap_seconds still MERGES into the session; only a strictly
+    greater gap opens a new one. The batch twin and the DuckDB oracle both
+    encode `gap > gap_seconds` as the new-session condition to match."""
+    from deepgraph_spark.streaming.sessions import sessionize_batch, sessionize_replay
+
+    ev = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "user_id": [1, 1, 1, 2, 2],
+                "ts": pd.to_datetime(
+                    [
+                        "2024-01-01 00:00:00",
+                        "2024-01-01 00:30:00",  # gap == 1800s -> still merges
+                        "2024-01-01 01:00:01",  # gap 1801s -> NEW session
+                        "2024-01-01 00:00:00",
+                        "2024-01-01 00:29:59",  # gap 1799s -> merges
+                    ]
+                ),
+            }
+        )
+    )
+    got = (
+        sessionize_replay(ev, gap_seconds=1800, work_dir=str(tmp_path))
+        .toPandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    per_user = got.groupby("user_id").size()
+    assert per_user[1] == 2, f"gap>1800s must open a new session: {got}"
+    assert per_user[2] == 1
+    assert got.n_events.tolist() == [2, 1, 2]
+    # session_end = last event + gap (the oracle's MAX(ts) + gap contract)
+    u2 = got[got.user_id == 2].iloc[0]
+    assert (u2.session_end - u2.session_start) == pd.Timedelta(seconds=1799 + 1800)
+    # and the batch twin agrees row-for-row, including the exact-gap merge
+    exp = (
+        sessionize_batch(ev, gap_seconds=1800)
+        .toPandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    assert got.user_id.tolist() == exp.user_id.tolist()
+    assert got.n_events.tolist() == exp.n_events.tolist()
+    assert (got.session_start.values == exp.session_start.values).all()

@@ -54,6 +54,25 @@ sections.append(("SimHash (native md5-60bit bit-vote)", cap(simhash_fingerprints
 sums -> bit assembly; whole-stage codegen end to end, no Python stage, and
 the map-side partial aggregation means 60 longs per doc cross the wire."""))
 
+from deepgraph_spark.pipeline import decontaminate, pack_shards
+sections.append(("Benchmark decontamination (k-gram hash overlap vs eval set)", cap(
+    decontaminate(docs.where(F.col("doc_id") % 17 != 0), docs.where(F.col("doc_id") % 17 == 0), k=8)),
+"""Grams are hashed to 60-bit longs BEFORE the distinct and the join — the
+only things that shuffle are (doc_id, hash) pairs, never gram strings. The
+eval side collapses to a distinct hash set and is joined without a forced
+broadcast hint: AQE broadcasts a benchmark-suite-sized set on its own, and an
+adversarially large eval set degrades to a shuffle join instead of an OOM."""))
+
+sections.append(("Token-budget shard packing (distributed prefix sum)", cap(
+    pack_shards(docs.select("doc_id", "text"), budget=2000, order_by=["doc_id"])),
+"""shard = floor(exclusive running token sum / budget), computed WITHOUT a
+global window: a range exchange pins global order, per-partition totals (a
+<=1-row-per-partition aggregate) become cumulative offsets entering the plan
+as a closure constant, and ONE Arrow pass adds offset[partition] + the local
+running sum — nothing shuffles after the range exchange, and no Exchange
+SinglePartition appears anywhere. The SQL-window oracle serializes the whole
+corpus through one task to compute the same answer."""))
+
 sections.append(("Winnowing fingerprints (k-gram hash + window-min)", cap(doc_fingerprints(docs)),
 """sequence/transform builds k-grams JVM-side; posexplode + running MIN OVER
 (PARTITION BY doc ORDER BY pos ROWS 4) — a partitioned window (one exchange
