@@ -2,10 +2,10 @@
 
 ``entry(spark)`` runs the flagship query on sf0.001; ``queries()`` /
 ``oracle_sql()`` expose every implemented operator from SURVEY.md §2 — all
-32 queries carry a full DuckDB value oracle, including the iterative kernels
-(unrolled fixed-iteration power iteration / LPA), the Structured Streaming
-sessionizer (bounded availableNow replay of the real streaming query vs the
-strict-gap window oracle), the corpus-curation family (decontamination /
+36 queries carry a full DuckDB value oracle, including the iterative kernels
+(unrolled power iteration / LPA / k-core peel), the Structured Streaming
+surface (bounded availableNow replays of the real streaming band join and
+session queries vs the batch SQL oracles), the corpus-curation family (decontamination /
 hash split / shard packing / PII redaction), and the hash sketches
 (shared 60-bit MD5 hash family mirrors simhash, winnowing fingerprints, and
 the complete MinHash-LSH band pipeline engine-for-engine)."""

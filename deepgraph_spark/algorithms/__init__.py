@@ -8,6 +8,7 @@ checkpointed DataFrames.
 
 from deepgraph_spark.algorithms.checkpoint import SuperstepCheckpoint
 from deepgraph_spark.algorithms.components import connected_components
+from deepgraph_spark.algorithms.kcore import k_core
 from deepgraph_spark.algorithms.lpa import label_propagation
 from deepgraph_spark.algorithms.pagerank import pagerank
 from deepgraph_spark.algorithms.triangles import triangle_count, triangles_per_vertex
@@ -15,6 +16,7 @@ from deepgraph_spark.algorithms.triangles import triangle_count, triangles_per_v
 __all__ = [
     "SuperstepCheckpoint",
     "connected_components",
+    "k_core",
     "label_propagation",
     "pagerank",
     "triangle_count",

@@ -385,6 +385,70 @@ def q_doc_fingerprints(spark, sf_dir):
     return fp.select(F.col("doc_id").cast("long").alias("doc_id"), "fingerprint")
 
 
+def q_kcore_events(spark, sf_dir):
+    """k-core (k=2) of the events band graph: iterative degree peel to a
+    fixed point; the oracle unrolls the same monotone peel (extra rounds
+    past convergence are no-ops, so the unroll count only needs to be an
+    upper bound)."""
+    from deepgraph_spark.algorithms import k_core
+
+    e = event_edges(spark, sf_dir).select("s", "t")
+    members, _hist = k_core(e, k=2)
+    return members.select(F.col("id").cast("long").alias("id"))
+
+
+def q_repetition_stats_documents(spark, sf_dir):
+    """Gopher-style intra-doc repetition signal: per-doc total vs distinct
+    token 3-gram counts (two-level aggregate over 60-bit gram hashes)."""
+    from deepgraph_spark.pipeline import repetition_stats
+
+    out = repetition_stats(_t(spark, sf_dir, "documents"), k=3)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.round("dup_gram_ratio", 6).alias("dup_gram_ratio"),
+    )
+
+
+def q_corpus_ngram_topk_documents(spark, sf_dir):
+    """Corpus-wide most-frequent bigrams, deterministic (count desc, gram
+    asc) — TakeOrdered plan, no global sort of the gram dictionary."""
+    from deepgraph_spark.pipeline import corpus_ngram_topk
+
+    out = corpus_ngram_topk(_t(spark, sf_dir, "documents"), k=2, top=20)
+    return out.select("gram", F.col("n").cast("long").alias("n"))
+
+
+def q_stream_band_edges_events(spark, sf_dir):
+    """Streaming edge-construction gate: replay the REAL stream-stream band
+    join (watermarked self-join, time-range condition) over the events table
+    via :func:`band_edges_replay` and value-match the emitted edge set
+    against the SAME SQL oracle as the batch ``create_edges_ft`` gate —
+    incremental construction == batch construction, driver-checked."""
+    from deepgraph_spark.streaming.edge_stream import band_edges_replay
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value", "event_type"
+    )
+    out = band_edges_replay(
+        ev,
+        ft_col="ts",
+        tau_seconds=TAU_S,
+        group_by="user_id",
+        index_col="event_id",
+        feature_cols=["value", "event_type"],
+    )
+    return out.select(
+        F.col("s").cast("long").alias("s"),
+        F.col("t").cast("long").alias("t"),
+        "ft_r",
+        (F.col("value_t") - F.col("value_s")).alias("dv"),
+        "event_type_s",
+        "event_type_t",
+    )
+
+
 def q_stream_sessionize_events(spark, sf_dir):
     """Streaming-surface gate: run the REAL Structured Streaming session
     query (native merging session windows, append mode, availableNow
@@ -902,6 +966,85 @@ ORACLES["doc_fingerprints"] = f"""
 """
 
 
+def _kcore_oracle_sql(k: int = 2, rounds: int = 15) -> str:
+    """Unrolled iterative peel: b{r} = vertices under degree k in round r's
+    edge set, i{r+1} = edges with neither endpoint bad. The peel is monotone,
+    so rounds past the fixed point are identity — ``rounds`` is an upper
+    bound, not an exact iteration count."""
+    parts = [
+        f"""
+        WITH e AS MATERIALIZED (SELECT s, t FROM ({EVENT_EDGES_SQL})),
+        i0 AS MATERIALIZED (
+            SELECT DISTINCT s, t FROM (
+                SELECT s, t FROM e WHERE s != t
+                UNION ALL
+                SELECT t AS s, s AS t FROM e WHERE s != t
+            )
+        )"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f""",
+        b{r} AS MATERIALIZED (
+            SELECT s FROM i{r} GROUP BY s HAVING COUNT(*) < {k}
+        ),
+        i{r + 1} AS MATERIALIZED (
+            SELECT i.s, i.t FROM i{r} i
+            WHERE i.s NOT IN (SELECT s FROM b{r})
+              AND i.t NOT IN (SELECT s FROM b{r})
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT DISTINCT CAST(s AS BIGINT) AS id FROM i{rounds}"""
+    )
+    return "".join(parts)
+
+
+ORACLES["kcore_events"] = _kcore_oracle_sql()
+
+ORACLES["repetition_stats_documents"] = """
+    WITH d AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+    ),
+    g1 AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= 3
+                    THEN list_transform(range(len(toks) - 2),
+                         j -> array_to_string(list_slice(toks, j + 1, j + 3), ' '))
+                    ELSE [array_to_string(toks, ' ')] END AS grams
+        FROM d
+    ),
+    e AS (
+        SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gh
+        FROM (SELECT doc_id, unnest(grams) AS gram FROM g1)
+    ),
+    pg AS (SELECT doc_id, gh, COUNT(*) AS c FROM e GROUP BY doc_id, gh)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_grams,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           ROUND(1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS dup_gram_ratio
+    FROM pg GROUP BY doc_id
+"""
+
+ORACLES["corpus_ngram_topk_documents"] = """
+    WITH d AS (
+        SELECT string_split_regex(trim(text), '\\s+') AS toks FROM documents
+    ),
+    g1 AS (
+        SELECT CASE WHEN len(toks) >= 2
+                    THEN list_transform(range(len(toks) - 1),
+                         j -> array_to_string(list_slice(toks, j + 1, j + 2), ' '))
+                    ELSE [array_to_string(toks, ' ')] END AS grams
+        FROM d
+    )
+    SELECT gram, COUNT(*) AS n
+    FROM (SELECT unnest(grams) AS gram FROM g1)
+    GROUP BY gram ORDER BY n DESC, gram ASC LIMIT 20
+"""
+
+ORACLES["stream_band_edges_events"] = EVENT_EDGES_SQL
+
 ORACLES["stream_sessionize_events"] = """
     WITH g AS (
         SELECT user_id, ts,
@@ -1045,6 +1188,10 @@ QUERIES = {
     "neardup_clusters": q_neardup_clusters,
     "simhash_documents": q_simhash_documents,
     "doc_fingerprints": q_doc_fingerprints,
+    "kcore_events": q_kcore_events,
+    "repetition_stats_documents": q_repetition_stats_documents,
+    "corpus_ngram_topk_documents": q_corpus_ngram_topk_documents,
+    "stream_band_edges_events": q_stream_band_edges_events,
     "stream_sessionize_events": q_stream_sessionize_events,
     "decontaminate_documents": q_decontaminate_documents,
     "hash_split_documents": q_hash_split_documents,

@@ -19,8 +19,10 @@ from deepgraph_spark.pipeline.dedup import (
 )
 from deepgraph_spark.pipeline.similarity import ann_topk_bruteforce, ann_topk_lsh
 from deepgraph_spark.pipeline.textstats import (
+    corpus_ngram_topk,
     doc_fingerprints,
     lang_id,
+    repetition_stats,
     text_quality,
     token_stats,
 )
@@ -38,6 +40,8 @@ __all__ = [
     "text_quality",
     "lang_id",
     "doc_fingerprints",
+    "repetition_stats",
+    "corpus_ngram_topk",
     "decontaminate",
     "hash_split",
     "pack_shards",

@@ -77,6 +77,70 @@ def lang_id(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") 
     return docs.select(F.col(id_col), guess.alias("lang_guess"))
 
 
+def repetition_stats(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Intra-document repetition signal (the Gopher-style quality rule
+    "fraction of duplicated n-grams"): per document, total vs distinct token
+    ``k``-gram counts and ``dup_gram_ratio = 1 - distinct/total``.
+
+    Whole plan is explode → one two-level aggregate (per-(doc, gram) counts,
+    then per-doc rollup) over 60-bit gram hashes — only ``(doc_id, hash)``
+    longs shuffle, and the first aggregation map-side-combines, so a doc with
+    pathological repetition SHRINKS its shuffle volume rather than inflating
+    it. Documents shorter than ``k`` tokens count one whole-text gram."""
+    from deepgraph_spark.pipeline.dedup import hash60
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda j: F.concat_ws(" ", F.slice(toks, j + 1, k)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    g = docs.select(F.col(id_col), F.explode(grams).alias("gram")).select(
+        id_col, hash60(F.col("gram")).alias("gh")
+    )
+    per_gram = g.groupBy(id_col, "gh").agg(F.count(F.lit(1)).alias("c"))
+    return per_gram.groupBy(id_col).agg(
+        F.sum("c").alias("n_grams"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        (F.lit(1.0) - F.count(F.lit(1)) / F.sum("c")).alias("dup_gram_ratio"),
+    )
+
+
+def corpus_ngram_topk(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    k: int = 2,
+    top: int = 20,
+) -> DataFrame:
+    """Corpus-wide most-frequent token ``k``-grams (vocabulary / boilerplate
+    inspection): (gram, n) with a deterministic order (count desc, gram asc).
+
+    explode → hash-aggregate on the gram string (map-side partial combine
+    collapses each executor's counts before the shuffle) → orderBy+limit,
+    which Spark executes as TakeOrdered — per-partition top-``top`` heaps
+    merged on the driver, never a global sort of the gram dictionary."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda j: F.concat_ws(" ", F.slice(toks, j + 1, k)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return (
+        docs.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("gram"))
+        .limit(top)
+    )
+
+
 def doc_fingerprints(
     docs: DataFrame,
     *,

@@ -62,3 +62,64 @@ def stream_band_edges(
     for c in feature_cols:
         out_cols += [F.col(f"{c}_s"), F.col(f"{c}_t")]
     return joined.select(*out_cols)
+
+
+def band_edges_replay(
+    events: DataFrame,
+    *,
+    ft_col: str = "ts",
+    tau_seconds: float = 120.0,
+    group_by: str = "conv_id",
+    index_col: str = "id",
+    feature_cols: list[str] | None = None,
+    work_dir: str | None = None,
+    timeout_sec: int = 600,
+) -> DataFrame:
+    """Bounded replay of the REAL streaming band join over a batch table:
+    write the events to a file source, run :func:`stream_band_edges` with an
+    ``availableNow`` trigger into a parquet sink, and return the emitted
+    edges as a batch DataFrame.
+
+    The batch-equivalence harness for streaming edge construction — a
+    stream-stream inner join emits matches as data arrives (the watermark
+    only bounds state/late-data, it gates no output), so no sentinel is
+    needed and the replayed edge set must equal the batch band join exactly;
+    the driver gate value-checks it against the same SQL oracle as
+    ``create_edges_ft``.
+    """
+    import os
+    import tempfile
+    import uuid
+
+    spark = events.sparkSession
+    work = work_dir or tempfile.mkdtemp(prefix="dg_band_replay_")
+    run = uuid.uuid4().hex[:8]
+    src = os.path.join(work, "src_" + run)
+    out = os.path.join(work, "out_" + run)
+    ck = os.path.join(work, "ck_" + run)
+
+    # watermarks require TIMESTAMP event time; NTZ reinterprets as UTC
+    # (sessions run with tz UTC for oracle parity — a relabeling, no shift)
+    if dict(events.dtypes)[ft_col] == "timestamp_ntz":
+        events = events.withColumn(ft_col, F.col(ft_col).cast("timestamp"))
+    events.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    edges = stream_band_edges(
+        stream,
+        ft_col=ft_col,
+        tau_seconds=tau_seconds,
+        group_by=group_by,
+        index_col=index_col,
+        feature_cols=feature_cols,
+    )
+    q = (
+        edges.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return spark.read.parquet(out)

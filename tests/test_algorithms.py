@@ -190,3 +190,42 @@ def test_triangles_skewed_hub(spark):
     ] == [(0, 1, 2)]
     assert wedge_count(e, degree_ordered=False) == d * (d - 1) // 2
     assert wedge_count(e, degree_ordered=True) < d
+
+
+def _kcore_py_oracle(edges, n, k):
+    """Plain-python iterative peel on the undirected simple graph."""
+    und = {(int(a), int(b)) for a, b in edges if a != b}
+    und |= {(b, a) for a, b in und}
+    while True:
+        deg = {}
+        for a, _ in und:
+            deg[a] = deg.get(a, 0) + 1
+        bad = {v for v, d in deg.items() if d < k}
+        if not bad:
+            break
+        und = {(a, b) for a, b in und if a not in bad and b not in bad}
+    return sorted({a for a, _ in und})
+
+
+@pytest.mark.parametrize("name,n,m,seed", GRAPHS)
+@pytest.mark.parametrize("k", [2, 3])
+def test_kcore_parity(spark, name, n, m, seed, k):
+    from deepgraph_spark.algorithms import k_core
+
+    edges = random_digraph(n, m, seed)
+    e, _ = _dfs(spark, edges, n)
+    members, hist = k_core(e, k=k)
+    got = sorted(r["id"] for r in members.collect())
+    assert got == _kcore_py_oracle(edges, n, k), name
+    # monotone peel: edge counts never increase, last round is a fixed point
+    counts = [h["n_edges"] for h in hist]
+    assert counts == sorted(counts, reverse=True)
+    assert hist[-1]["removed_edges"] == 0
+
+
+def test_kcore_validates_k(spark):
+    from deepgraph_spark.algorithms import k_core
+
+    e = spark.createDataFrame(pd.DataFrame({"s": [0], "t": [1]}))
+    with pytest.raises(ValueError):
+        k_core(e, 0)

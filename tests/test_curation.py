@@ -130,6 +130,45 @@ def test_redact_pii(spark):
     assert (got.loc[3, ["n_email", "n_ipv4", "n_phone"]] == 0).all()
 
 
+def test_repetition_stats_vs_python(spark, docs):
+    from deepgraph_spark.pipeline import repetition_stats
+
+    k = 3
+    got = repetition_stats(docs, k=k).toPandas().set_index("doc_id")
+    for _, row in docs.toPandas().iterrows():
+        toks = re.split(r"\s+", row.text.strip())
+        grams = (
+            [" ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)]
+            if len(toks) >= k
+            else [" ".join(toks)]
+        )
+        assert got.loc[row.doc_id, "n_grams"] == len(grams)
+        assert got.loc[row.doc_id, "n_distinct"] == len(set(grams))
+    # duplicated docs exist but 3-grams inside a doc are mostly unique;
+    # a synthetic pathological doc must score high
+    patho = spark.createDataFrame([(1, "a b c " * 50)], "doc_id long, text string")
+    p = repetition_stats(patho, k=3).toPandas().iloc[0]
+    assert p.dup_gram_ratio > 0.9
+
+
+def test_corpus_ngram_topk(spark, docs):
+    from collections import Counter
+
+    from deepgraph_spark.pipeline import corpus_ngram_topk
+
+    got = corpus_ngram_topk(docs, k=2, top=10).toPandas()
+    cnt = Counter()
+    for t in docs.toPandas().text:
+        toks = re.split(r"\s+", t.strip())
+        cnt.update(
+            [" ".join(toks[j : j + 2]) for j in range(len(toks) - 1)]
+            if len(toks) >= 2
+            else [" ".join(toks)]
+        )
+    exp = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(map(tuple, got[["gram", "n"]].values)) == exp
+
+
 def test_redact_pii_patterns_compile_in_re2_subset():
     """Patterns must stay in the RE2/Java common subset (no backrefs or
     lookaround) so the DuckDB oracle compiles the same automaton."""
