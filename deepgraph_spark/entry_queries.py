@@ -385,6 +385,25 @@ def q_doc_fingerprints(spark, sf_dir):
     return fp.select(F.col("doc_id").cast("long").alias("doc_id"), "fingerprint")
 
 
+def q_ann_ivf_embeddings(spark, sf_dir):
+    """IVF-flat ANN gate: deterministic hash-sampled centroids (vec_id %
+    25 == 0 → 20 centroids over the 500-vector table), corpus bucketed to
+    its nearest centroid, queries probe their 2 nearest buckets, exact
+    cosine top-5 within candidates — the ENTIRE pipeline (assignment argmax
+    included) mirrored in the DuckDB oracle."""
+    from deepgraph_spark.pipeline import ann_topk_ivf
+
+    out = ann_topk_ivf(
+        _t(spark, sf_dir, "embeddings"), k=5, centroid_mod=25, nprobe=2
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        "cosine",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_kcore_events(spark, sf_dir):
     """k-core (k=2) of the events band graph: iterative degree peel to a
     fixed point; the oracle unrolls the same monotone peel (extra rounds
@@ -966,6 +985,48 @@ ORACLES["doc_fingerprints"] = f"""
 """
 
 
+ORACLES["ann_ivf_embeddings"] = """
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS ve,
+               list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS ss
+        FROM embeddings
+    ),
+    c AS (SELECT vec_id AS cid, ve AS cv, ss AS cs FROM v WHERE vec_id % 25 = 0),
+    a AS (
+        SELECT v.vec_id, c.cid,
+               ROUND(list_dot_product(v.ve, c.cv) / (SQRT(v.ss) * SQRT(c.cs)), 6) AS sim
+        FROM v CROSS JOIN c
+    ),
+    ar AS (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS arank
+        FROM a
+    ),
+    probes AS (SELECT vec_id AS query_id, cid FROM ar WHERE arank <= 2),
+    buckets AS (SELECT vec_id AS neighbor_id, cid FROM ar WHERE arank = 1),
+    cand AS (
+        SELECT p.query_id, b.neighbor_id
+        FROM probes p JOIN buckets b USING (cid)
+        WHERE p.query_id != b.neighbor_id
+    ),
+    scored AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               ROUND(list_dot_product(q.ve, n.ve) / (SQRT(q.ss) * SQRT(n.ss)), 6) AS cosine
+        FROM cand
+        JOIN v q ON q.vec_id = cand.query_id
+        JOIN v n ON n.vec_id = cand.neighbor_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5
+"""
+
+
 def _kcore_oracle_sql(k: int = 2, rounds: int = 15) -> str:
     """Unrolled iterative peel: b{r} = vertices under degree k in round r's
     edge set, i{r+1} = edges with neither endpoint bad. The peel is monotone,
@@ -1188,6 +1249,7 @@ QUERIES = {
     "neardup_clusters": q_neardup_clusters,
     "simhash_documents": q_simhash_documents,
     "doc_fingerprints": q_doc_fingerprints,
+    "ann_ivf_embeddings": q_ann_ivf_embeddings,
     "kcore_events": q_kcore_events,
     "repetition_stats_documents": q_repetition_stats_documents,
     "corpus_ngram_topk_documents": q_corpus_ngram_topk_documents,

@@ -17,7 +17,11 @@ from deepgraph_spark.pipeline.dedup import (
     ngram_jaccard_pairs,
     simhash_fingerprints,
 )
-from deepgraph_spark.pipeline.similarity import ann_topk_bruteforce, ann_topk_lsh
+from deepgraph_spark.pipeline.similarity import (
+    ann_topk_bruteforce,
+    ann_topk_ivf,
+    ann_topk_lsh,
+)
 from deepgraph_spark.pipeline.textstats import (
     corpus_ngram_topk,
     doc_fingerprints,
@@ -35,6 +39,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "embedding_neardup_pairs",
     "ann_topk_bruteforce",
+    "ann_topk_ivf",
     "ann_topk_lsh",
     "token_stats",
     "text_quality",

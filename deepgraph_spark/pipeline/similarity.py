@@ -142,3 +142,77 @@ def ann_topk_lsh(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
     )
+
+
+def ann_topk_ivf(
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    centroid_mod: int = 1000,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-flat approximate top-k: a coarse quantizer partitions the corpus
+    into centroid buckets (each vector lives in its single nearest bucket), a
+    query scans only its ``nprobe`` nearest buckets, and the exact cosine
+    re-ranks within those candidates.
+
+    Centroids are a deterministic hash sample of the corpus itself
+    (``id % centroid_mod == 0``) rather than k-means iterates — for the
+    coarse-bucketing role a uniform sample covers the data distribution
+    (k-means|| seeding starts the same way), and determinism is what lets the
+    whole pipeline (assignment argmax included) hold bit-for-bit against a
+    SQL oracle; swap in trained centroids without touching the plan shape.
+
+    Scale shape: assignment amplifies the corpus by ``n_centroids`` rows (the
+    inherent IVF assignment cost — keep the coarse codebook small, e.g.
+    n/1000); after that only ``(id, cid)`` pairs ride the candidate join,
+    vectors enter once at the verify stage, and per-query work is
+    ``nprobe/n_centroids`` of the corpus instead of all of it."""
+    from deepgraph_spark.pipeline.dedup import _emb_base
+
+    base = _emb_base(corpus, vec_col, id_col, [])
+    cent = base.where(F.col(id_col) % centroid_mod == 0).select(
+        F.col(id_col).alias("cid"), F.col("rv").alias("cv"), F.col("ss").alias("cs")
+    )
+    dot_c = F.aggregate(
+        F.zip_with("rv", "cv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    sim = F.round(dot_c / (F.sqrt("ss") * F.sqrt("cs")), 6)
+    assign = base.select(id_col, "rv", "ss").crossJoin(cent).select(
+        F.col(id_col), F.col("cid"), sim.alias("sim")
+    )
+    wa = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.asc("cid"))
+    ranked_assign = assign.withColumn("arank", F.row_number().over(wa))
+    probes = ranked_assign.where(F.col("arank") <= nprobe).select(
+        F.col(id_col).alias("query_id"), "cid"
+    )
+    buckets = ranked_assign.where(F.col("arank") == 1).select(
+        F.col(id_col).alias("neighbor_id"), "cid"
+    )
+    cands = probes.join(buckets, "cid").where(
+        F.col("query_id") != F.col("neighbor_id")
+    ).select("query_id", "neighbor_id")
+
+    qa = base.select(
+        F.col(id_col).alias("query_id"), F.col("rv").alias("qv"), F.col("ss").alias("qs")
+    )
+    cb = base.select(
+        F.col(id_col).alias("neighbor_id"), F.col("rv").alias("cv2"), F.col("ss").alias("cs2")
+    )
+    dot_v = F.aggregate(
+        F.zip_with("qv", "cv2", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    cos = dot_v / (F.sqrt("qs") * F.sqrt("cs2"))
+    scored = (
+        cands.join(qa, "query_id")
+        .join(cb, "neighbor_id")
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc(F.round("cosine", 6)), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )

@@ -151,6 +151,33 @@ def test_embedding_neardup_gate_recall(spark, emb):
     assert recall == 1.0, f"gate-setting LSH recall {recall} < 1.0"
 
 
+def test_ann_ivf_recall_and_candidate_pruning(spark, emb):
+    from deepgraph_spark.pipeline import ann_topk_ivf
+
+    exact = ann_topk_bruteforce(emb, k=5).toPandas()
+    # 500 vectors / centroid_mod 50 -> 10 buckets; on UNSTRUCTURED random
+    # embeddings IVF recall ~= fraction of buckets probed (no cluster
+    # structure to exploit), so nprobe=3 of 10 should land near 0.3 — the
+    # assertions below are the properties that must hold regardless of data
+    approx = ann_topk_ivf(emb, k=5, centroid_mod=50, nprobe=3).toPandas()
+    e = {(r.query_id, r.neighbor_id) for r in exact.itertuples()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.itertuples()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.2, f"IVF recall {recall} below the probed fraction"
+    # every reported neighbor's cosine must equal the exact cosine (IVF only
+    # prunes candidates, never approximates the score)
+    merged = approx.merge(
+        exact, on=["query_id", "neighbor_id"], suffixes=("_ivf", "_exact")
+    )
+    assert len(merged) > 0
+    assert (merged.cosine_ivf == merged.cosine_exact).all()
+    # probing EVERY bucket degrades gracefully to the exact full scan
+    wide = ann_topk_ivf(emb, k=5, centroid_mod=50, nprobe=10).toPandas()
+    w = {(r.query_id, r.neighbor_id) for r in wide.itertuples()}
+    assert w == e
+    assert len(e & w) >= len(e & a)  # recall monotone in nprobe
+
+
 def test_ann_lsh_recall(spark, emb):
     exact = ann_topk_bruteforce(emb, k=5).toPandas()
     approx = ann_topk_lsh(emb, k=5, n_planes=3, n_tables=10).toPandas()
