@@ -1,0 +1,96 @@
+"""Physical-plan regression guards.
+
+The scale patterns the engine promises (docs/PLANS.md) are asserted here so
+they cannot silently regress: no operator that claims to be distributed may
+compile to a single-partition exchange (the round-2 verdict found exactly
+that in the flagship vertex-id path), and scans must prune to the columns a
+query actually reads. These are TEXTUAL assertions on the formatted physical
+plan — cheap, deterministic, and independent of data size.
+"""
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    # sf0.01 deliberately: other test modules .cache() the sf0.001 tables,
+    # and Spark's cache manager substitutes the cached relation into any
+    # matching fresh scan — which would hide the pruned FileScan these
+    # assertions inspect
+    return spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+
+
+def test_turn_vertices_no_single_partition_exchange(spark):
+    """The flagship vertex-id path must stay distributed: conversation ranks
+    via range-partitioned dense index, never a no-partition window."""
+    from deepgraph_spark.datagen import generate_transcripts
+    from deepgraph_spark.transcripts import turn_vertices
+
+    tr = generate_transcripts(spark, n_turns=500, seed=1)
+    p = plan_of(turn_vertices(tr))
+    assert "SinglePartition" not in p, p
+
+
+def test_with_dense_index_no_single_partition_exchange(spark, docs):
+    from deepgraph_spark.core import with_dense_index
+
+    p = plan_of(with_dense_index(docs.select("doc_id"), "doc_id", "idx"))
+    assert "SinglePartition" not in p, p
+
+
+def test_pack_shards_no_single_partition_exchange(spark, docs):
+    """The distributed prefix sum must not fall back to a global window."""
+    from deepgraph_spark.pipeline import pack_shards
+
+    p = plan_of(pack_shards(docs.select("doc_id", "text"), budget=500))
+    assert "SinglePartition" not in p, p
+    assert "Window" not in p, p
+
+
+def test_doc_fingerprints_window_is_partitioned(spark, docs):
+    from deepgraph_spark.pipeline.textstats import doc_fingerprints
+
+    p = plan_of(doc_fingerprints(docs))
+    assert "SinglePartition" not in p, p
+
+
+def test_supernode_labels_no_single_partition_exchange(spark, docs):
+    from deepgraph_spark.core import DeepGraphFrame
+
+    g = DeepGraphFrame(docs, index_col="doc_id")
+    g.supernode_labels_by("source_label", ["source"])
+    p = plan_of(g.v)
+    assert "SinglePartition" not in p, p
+
+
+def test_token_stats_scan_prunes_columns(spark, docs):
+    """Column pruning must reach the parquet scan: token_stats reads only
+    (doc_id, text); the untouched columns must not appear in ReadSchema."""
+    from deepgraph_spark.pipeline import token_stats
+
+    p = plan_of(token_stats(docs))
+    scan_lines = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert scan_lines, p
+    for ln in scan_lines:
+        assert "source" not in ln and "lang" not in ln, ln
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """A value filter on a parquet-backed node table must appear in
+    PushedFilters, not only as a post-scan Filter node."""
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    q = ev.where(F.col("user_id") == 7).select("event_id", "ts")
+    p = plan_of(q)
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    assert pushed and any("user_id" in ln for ln in pushed), p

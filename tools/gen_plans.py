@@ -78,6 +78,32 @@ sections.append(("Winnowing fingerprints (k-gram hash + window-min)", cap(doc_fi
 (PARTITION BY doc ORDER BY pos ROWS 4) — a partitioned window (one exchange
 on doc_id), never a global sort; distinct closes the plan."""))
 
+emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+from deepgraph_spark.pipeline import ann_topk_ivf
+sections.append(("IVF-flat ANN (coarse buckets + nprobe scan + exact verify)", cap(
+    ann_topk_ivf(emb, k=5, centroid_mod=25, nprobe=2)),
+"""Assignment amplifies the corpus by the (small, by-design) centroid count —
+the inherent IVF quantization cost — then everything narrows: the probe and
+bucket tables carry only (id, cid), the candidate join is an equi-join on
+cid, and the vectors re-enter exactly once at the verify join. The top-k
+window partitions by query_id (no global sort). Same candidate->verify
+discipline as the LSH siblings; the quantizer swaps without a plan change."""))
+
+from deepgraph_spark.entry_queries import event_edges as _ee
+_kc_e = _ee(spark, SF).select("s", "t")
+_kc_a = _kc_e.select("s", "t")
+_kc_und = _kc_a.unionByName(_kc_a.select(F.col("t").alias("s"), F.col("s").alias("t"))).where(F.col("s") != F.col("t")).distinct().localCheckpoint(eager=True)
+_kc_deg = _kc_und.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+_kc_bad = _kc_deg.where(F.col("deg") < 2).select("s")
+_kc_round = _kc_und.join(_kc_bad, "s", "left_anti").join(_kc_bad.withColumnRenamed("s", "t"), "t", "left_anti").select("s", "t")
+sections.append(("k-core peel round (degree agg + two anti-joins)", cap(_kc_round),
+"""One peel round over the checkpointed undirected edge set: a map-side-
+combined degree aggregate, then two left-anti joins against the (small,
+shrinking) under-degree vertex set — broadcast at this size, shuffle-anti at
+scale, AQE's call. Narrow (s, t) long pairs are the only payload anywhere;
+the runtime loop localCheckpoints each round so lineage stays flat and reads
+convergence off the same count() that materializes the round."""))
+
 # pagerank superstep plan: build manually one superstep
 from deepgraph_spark.transcripts import build_turn_graph, turn_vertices
 from deepgraph_spark.datagen import generate_transcripts
