@@ -385,6 +385,24 @@ def q_doc_fingerprints(spark, sf_dir):
     return fp.select(F.col("doc_id").cast("long").alias("doc_id"), "fingerprint")
 
 
+def q_update_edges_events(spark, sf_dir):
+    """§2.4 filter-cascade gate: filter the event vertices by value, cascade
+    the deletion to the band-graph edges via the double left-semi join
+    (``update_edges``, ref deepgraph.py:2539-2556), and return the surviving
+    edges — exercises filter_by_values_v + update_edges end-to-end."""
+    from deepgraph_spark.core import DeepGraphFrame
+
+    ev = _t(spark, sf_dir, "events")
+    g = DeepGraphFrame(ev, index_col="event_id")
+    g.e = event_edges(spark, sf_dir)
+    g.filter_by_interval_v("value", (0.0, 50.0))
+    return g.e.select(
+        F.col("s").cast("long").alias("s"),
+        F.col("t").cast("long").alias("t"),
+        "ft_r",
+    )
+
+
 def q_ann_ivf_embeddings(spark, sf_dir):
     """IVF-flat ANN gate: deterministic hash-sampled centroids (vec_id %
     25 == 0 → 20 centroids over the 500-vector table), corpus bucketed to
@@ -985,6 +1003,15 @@ ORACLES["doc_fingerprints"] = f"""
 """
 
 
+ORACLES["update_edges_events"] = f"""
+    WITH e AS (SELECT s, t, ft_r FROM ({EVENT_EDGES_SQL})),
+    keep AS (SELECT event_id FROM events WHERE value >= 0.0 AND value <= 50.0)
+    SELECT e.s, e.t, e.ft_r
+    FROM e
+    WHERE e.s IN (SELECT event_id FROM keep)
+      AND e.t IN (SELECT event_id FROM keep)
+"""
+
 ORACLES["ann_ivf_embeddings"] = """
     WITH v AS (
         SELECT vec_id, embedding::DOUBLE[] AS ve,
@@ -1249,6 +1276,7 @@ QUERIES = {
     "neardup_clusters": q_neardup_clusters,
     "simhash_documents": q_simhash_documents,
     "doc_fingerprints": q_doc_fingerprints,
+    "update_edges_events": q_update_edges_events,
     "ann_ivf_embeddings": q_ann_ivf_embeddings,
     "kcore_events": q_kcore_events,
     "repetition_stats_documents": q_repetition_stats_documents,
