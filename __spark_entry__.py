@@ -2,7 +2,7 @@
 
 ``entry(spark)`` runs the flagship query on sf0.001; ``queries()`` /
 ``oracle_sql()`` expose every implemented operator from SURVEY.md §2 — all
-38 queries carry a full DuckDB value oracle, including the iterative kernels
+40 queries carry a full DuckDB value oracle, including the iterative kernels
 (unrolled power iteration / LPA / k-core peel), the Structured Streaming
 surface (bounded availableNow replays of the real streaming band join and
 session queries vs the batch SQL oracles), the corpus-curation family (decontamination /

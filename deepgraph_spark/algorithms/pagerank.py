@@ -76,11 +76,24 @@ def pagerank(
     mode: str = "join",
     num_partitions: int | None = None,
     check_every: int = 1,
+    teleport: DataFrame | None = None,
 ) -> tuple[DataFrame, list[dict]]:
     """Returns ``(ranks_df(id, rank), metrics_history)``. Convergence: L1
     delta < tol. ``resume=True`` restarts from the latest complete superstep
-    under ``checkpoint_dir`` (see SuperstepCheckpoint)."""
+    under ``checkpoint_dir`` (see SuperstepCheckpoint).
+
+    ``teleport``: a DataFrame of vertex ids (first column) → personalized
+    PageRank with the teleport (and dangling-mass) distribution uniform over
+    that set instead of over all vertices; join mode only. The static ``pv``
+    weight rides the rank state, so the superstep plan shape (co-partitioned
+    join + one dst-aggregation shuffle) is unchanged."""
     spark = edges.sparkSession
+    personalized = teleport is not None
+    if personalized and mode != "join":
+        raise ValueError(
+            "teleport (personalized PageRank) is implemented for mode='join' "
+            f"(the unbounded-scale path); got mode={mode!r}"
+        )
     if not directed:
         back = edges.select(F.col(dst).alias(src), F.col(src).alias(dst))
         edges = edges.select(src, dst).union(back)
@@ -99,6 +112,25 @@ def pagerank(
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     outdeg = edges.groupBy(F.col(src).alias("id")).agg(F.count(F.lit(1)).alias("outdeg"))
     verts_deg = verts.join(outdeg, "id", "left").fillna(0, subset=["outdeg"])
+    if personalized:
+        # uniform weight over the (distinct, graph-member) teleport set; the
+        # literal 1/|S| keeps the value identical to the SQL oracle's
+        tp = (
+            teleport.select(F.col(teleport.columns[0]).alias("id"))
+            .distinct()
+            .join(verts, "id", "left_semi")
+        )
+        n_src = tp.count()
+        if n_src == 0:
+            raise ValueError("teleport set contains no graph vertices")
+        verts_deg = (
+            verts_deg.join(tp.withColumn("_src", F.lit(True)), "id", "left")
+            .withColumn(
+                "pv", F.when(F.col("_src"), F.lit(1.0 / n_src)).otherwise(F.lit(0.0))
+            )
+            .drop("_src")
+        )
+    state_cols = ["outdeg", "pv"] if personalized else ["outdeg"]
     verts_deg = verts_deg.repartition(num_partitions, "id").persist()
     edges_w = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -124,14 +156,15 @@ def pagerank(
 
     ckpt = SuperstepCheckpoint(spark, checkpoint_dir, job_id)
     start_iter = 0
-    ranks = verts_deg.select("id", F.lit(1.0 / n).alias("rank"), "outdeg")
+    init_rank = F.col("pv") if personalized else F.lit(1.0 / n)
+    ranks = verts_deg.select("id", init_rank.alias("rank"), *state_cols)
     if resume:
         latest = ckpt.latest()
         if latest is not None:
             start_iter, state, _ = latest
             ranks = (
                 state.select("id", "rank")
-                .join(verts_deg.select("id", "outdeg"), "id", "left")
+                .join(verts_deg.select("id", *state_cols), "id", "left")
                 .fillna(0, subset=["outdeg"])
             )
             start_iter += 1
@@ -228,15 +261,25 @@ def pagerank(
         else:
             joined = joined.crossJoin(F.broadcast(dangling))
             dng_expr = F.col("_dng")
-        return joined.select(
-            "id",
-            (
+        if personalized:
+            # teleport + dangling mass land on the pv distribution; literal
+            # shapes mirror the SQL oracle exactly
+            new_rank = (
+                F.lit(1.0 - damping) * F.col("pv")
+                + F.lit(damping) * dng_expr * F.col("pv")
+                + F.lit(damping) * F.col("contrib")
+            )
+        else:
+            new_rank = (
                 F.lit((1.0 - damping) / n)
                 + F.lit(damping) * (dng_expr / n)
                 + F.lit(damping) * F.col("contrib")
-            ).alias("rank"),
+            )
+        return joined.select(
+            "id",
+            new_rank.alias("rank"),
             F.col("rank").alias("prev"),
-            "outdeg",
+            *state_cols,
         )
 
     history: list[dict] = []
@@ -466,17 +509,25 @@ def _pagerank_blocks(spark, verts_deg, edges_w, ranks, n, damping, tol, max_iter
 
 
 def pagerank_numpy_oracle(
-    edges: np.ndarray, n: int, damping: float = 0.85, tol: float = 1e-6, max_iter: int = 200
+    edges: np.ndarray,
+    n: int,
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 200,
+    p: np.ndarray | None = None,
 ) -> np.ndarray:
     """Reference power iteration on dense-id edges (m×2 int array) — the
-    parity oracle required by north_rule (allclose 1e-6)."""
+    parity oracle required by north_rule (allclose 1e-6). ``p`` is the
+    teleport distribution (personalized PageRank); None → uniform."""
     src, dst = edges[:, 0], edges[:, 1]
     outdeg = np.bincount(src, minlength=n).astype(float)
-    r = np.full(n, 1.0 / n)
+    if p is None:
+        p = np.full(n, 1.0 / n)
+    r = p.copy()
     for _ in range(max_iter):
         dangling = r[outdeg == 0].sum()
         contrib = np.bincount(dst, weights=r[src] / np.where(outdeg[src] == 0, 1, outdeg[src]), minlength=n)
-        new_r = (1 - damping) / n + damping * (contrib + dangling / n)
+        new_r = (1 - damping) * p + damping * (contrib + dangling * p)
         if np.abs(new_r - r).sum() < tol:
             return new_r
         r = new_r

@@ -182,6 +182,24 @@ def q_pagerank_events(spark, sf_dir):
     )
 
 
+def q_ppr_events(spark, sf_dir):
+    """Personalized PageRank gate: teleport uniform over every 50th event
+    vertex (join mode, fixed 20 supersteps so the unrolled oracle computes
+    the identical doubles)."""
+    from deepgraph_spark.algorithms import pagerank
+
+    e = event_edges(spark, sf_dir)
+    ev = _t(spark, sf_dir, "events")
+    verts = ev.select(F.col("event_id").alias("id"))
+    tp = ev.where(F.col("event_id") % 50 == 0).select(F.col("event_id").alias("id"))
+    ranks, _ = pagerank(
+        e, vertices=verts, tol=0.0, max_iter=PR_ITERS, mode="join", teleport=tp
+    )
+    return ranks.select(
+        F.col("id").cast("long").alias("id"), F.round("rank", 9).alias("rank")
+    )
+
+
 def q_lpa_events(spark, sf_dir):
     from deepgraph_spark.algorithms import label_propagation
 
@@ -484,6 +502,16 @@ def q_stream_band_edges_events(spark, sf_dir):
         "event_type_s",
         "event_type_t",
     )
+
+
+def q_stream_exact_dedup_documents(spark, sf_dir):
+    """Streaming dedup gate: replay the stateful dropDuplicates stream over
+    the documents table; the admitted hash set must equal the batch
+    SELECT DISTINCT — ingest-side dedup == batch dedup, driver-checked."""
+    from deepgraph_spark.streaming import exact_dedup_replay
+
+    out = exact_dedup_replay(_t(spark, sf_dir, "documents"))
+    return out.select(F.col("h").cast("long").alias("h"))
 
 
 def q_stream_sessionize_events(spark, sf_dir):
@@ -872,7 +900,44 @@ def _lpa_oracle_sql(iters: int = LPA_ITERS) -> str:
     return "".join(parts)
 
 
+def _ppr_oracle_sql(iters: int = PR_ITERS, d: float = 0.85) -> str:
+    """Unrolled personalized power iteration: teleport + dangling mass land
+    on the pv distribution (uniform over event_id % 50 == 0), mirroring the
+    Spark expression shapes literal-for-literal."""
+    parts = [
+        f"""
+        WITH e AS MATERIALIZED (SELECT s, t FROM ({EVENT_EDGES_SQL})),
+        verts AS MATERIALIZED (SELECT event_id AS id FROM events),
+        ns AS MATERIALIZED (SELECT COUNT(*) AS n FROM verts WHERE id % 50 = 0),
+        pvt AS MATERIALIZED (SELECT id,
+                CASE WHEN id % 50 = 0 THEN 1.0 / (SELECT n FROM ns) ELSE 0.0 END AS pv
+                FROM verts),
+        deg AS MATERIALIZED (SELECT v.id, COUNT(e.s) AS outdeg
+                FROM verts v LEFT JOIN e ON e.s = v.id GROUP BY v.id),
+        r0 AS MATERIALIZED (SELECT id, pv AS rank FROM pvt)"""
+    ]
+    for k in range(iters):
+        parts.append(
+            f""",
+        d{k} AS MATERIALIZED (SELECT COALESCE(SUM(CASE WHEN deg.outdeg = 0 THEN r.rank END), 0.0) AS dng
+                 FROM r{k} r JOIN deg ON deg.id = r.id),
+        c{k} AS MATERIALIZED (SELECT e.t AS id, SUM((1.0 / deg.outdeg) * r.rank) AS contrib
+                 FROM e JOIN r{k} r ON r.id = e.s JOIN deg ON deg.id = e.s
+                 GROUP BY e.t),
+        r{k + 1} AS MATERIALIZED (SELECT p.id,
+                (1.0 - {d}) * p.pv
+                + {d} * (SELECT dng FROM d{k}) * p.pv
+                + {d} * COALESCE(c.contrib, 0.0) AS rank
+            FROM pvt p LEFT JOIN c{k} c ON c.id = p.id)"""
+        )
+    parts.append(
+        f"\n        SELECT CAST(id AS BIGINT) AS id, ROUND(rank, 9) AS rank FROM r{iters}"
+    )
+    return "".join(parts)
+
+
 ORACLES["pagerank_events"] = _pagerank_oracle_sql()
+ORACLES["ppr_events"] = _ppr_oracle_sql()
 ORACLES["lpa_events"] = _lpa_oracle_sql()
 
 
@@ -1131,6 +1196,11 @@ ORACLES["corpus_ngram_topk_documents"] = """
     GROUP BY gram ORDER BY n DESC, gram ASC LIMIT 20
 """
 
+ORACLES["stream_exact_dedup_documents"] = """
+    SELECT DISTINCT ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+    FROM documents
+"""
+
 ORACLES["stream_band_edges_events"] = EVENT_EDGES_SQL
 
 ORACLES["stream_sessionize_events"] = """
@@ -1264,6 +1334,7 @@ QUERIES = {
     "sessionize_events": q_sessionize_events,
     "top_components_events": q_top_components_events,
     "pagerank_events": q_pagerank_events,
+    "ppr_events": q_ppr_events,
     "lpa_events": q_lpa_events,
     "exact_dedup_documents": q_exact_dedup_documents,
     "ngram_jaccard_documents": q_ngram_jaccard_documents,
@@ -1283,6 +1354,7 @@ QUERIES = {
     "corpus_ngram_topk_documents": q_corpus_ngram_topk_documents,
     "stream_band_edges_events": q_stream_band_edges_events,
     "stream_sessionize_events": q_stream_sessionize_events,
+    "stream_exact_dedup_documents": q_stream_exact_dedup_documents,
     "decontaminate_documents": q_decontaminate_documents,
     "hash_split_documents": q_hash_split_documents,
     "pack_shards_documents": q_pack_shards_documents,

@@ -1,4 +1,20 @@
-from deepgraph_spark.streaming.edge_stream import stream_band_edges
-from deepgraph_spark.streaming.sessions import sessionize_batch, stream_sessionize
+from deepgraph_spark.streaming.dedup_stream import (
+    exact_dedup_replay,
+    stream_exact_dedup,
+)
+from deepgraph_spark.streaming.edge_stream import band_edges_replay, stream_band_edges
+from deepgraph_spark.streaming.sessions import (
+    sessionize_batch,
+    sessionize_replay,
+    stream_sessionize,
+)
 
-__all__ = ["stream_band_edges", "stream_sessionize", "sessionize_batch"]
+__all__ = [
+    "stream_band_edges",
+    "band_edges_replay",
+    "stream_sessionize",
+    "sessionize_batch",
+    "sessionize_replay",
+    "stream_exact_dedup",
+    "exact_dedup_replay",
+]

