@@ -2,13 +2,15 @@
 
 ``entry(spark)`` runs the flagship query on sf0.001; ``queries()`` /
 ``oracle_sql()`` expose every implemented operator from SURVEY.md §2 — all
-40 queries carry a full DuckDB value oracle, including the iterative kernels
-(unrolled power iteration / LPA / k-core peel), the Structured Streaming
+44 queries carry a full DuckDB value oracle, including the iterative kernels
+(unrolled power iteration / LPA / k-core peel, recursive-CTE closures for
+weak CC, strong CC, and depth-capped BFS), the Structured Streaming
 surface (bounded availableNow replays of the real streaming band join and
 session queries vs the batch SQL oracles), the corpus-curation family (decontamination /
-hash split / shard packing / PII redaction), and the hash sketches
-(shared 60-bit MD5 hash family mirrors simhash, winnowing fingerprints, and
-the complete MinHash-LSH band pipeline engine-for-engine)."""
+hash split / shard packing / PII redaction / line-level dedup), and the hash
+sketches (shared 60-bit MD5 hash family mirrors simhash, winnowing
+fingerprints, the complete MinHash-LSH band pipeline, and the
+Rademacher-plane ANN-LSH buckets engine-for-engine)."""
 
 from __future__ import annotations
 

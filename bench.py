@@ -116,6 +116,18 @@ def group_transcript() -> dict:
         extra["iterations"] = len(hist)
 
     times["pagerank_transcripts"] = _repeat(pr)
+
+    # The 100 TB scale path is join mode (blocks mode is the documented
+    # small-graph accelerator). Track its number at bench scale every round
+    # so the headline stays honest about the plan that survives a cluster.
+    def pr_join():
+        ranks, hist = pagerank(
+            holder["edges"], vertices=holder["v"], tol=1e-6, mode="join", max_iter=100
+        )
+        ranks.count()
+        extra["iterations_join"] = len(hist)
+
+    times["pagerank_join_transcripts"] = _repeat(pr_join)
     return {"times": times, "extra": extra}
 
 
@@ -285,7 +297,10 @@ def main_parent():
         extra.update(payload["extra"])
 
     med = {k: statistics.median(v) for k, v in times.items()}
-    total = sum(med.values())
+    # the join-mode pagerank entry tracks the scale path but is an alternate
+    # mode of a query already counted — keep the headline total comparable
+    # with earlier rounds by excluding it
+    total = sum(v for k, v in med.items() if k != "pagerank_join_transcripts")
     corr_sec = med["ref_pairwise_corr_5000"]
     pr_sec = med["pagerank_transcripts"]
     edges_processed = extra["m_edges"] * max(extra.get("iterations", 1), 1)
@@ -336,7 +351,28 @@ def main_parent():
             ),
         },
     }
-    print(json.dumps(out))
+    # BENCH_r03 postmortem: the driver captures only a bounded stdout TAIL, so
+    # one oversized JSON line arrives truncated mid-line and parses to null.
+    # Full stats go to a sidecar file; the FINAL stdout line is a compact
+    # summary (headline + per-query medians) guaranteed well under 1.5 KB.
+    with open(os.path.join(ROOT, "BENCH_FULL.json"), "w") as fh:
+        json.dump(out, fh, indent=2)
+    print(json.dumps(compact_summary(out)))
+
+
+def compact_summary(out: dict) -> dict:
+    """The driver-facing one-line summary. Kept a pure function so the length
+    invariant (<1500 bytes serialized) is unit-testable."""
+    return {
+        "metric": "headline suite wall time (median of isolated-JVM repeats)",
+        "value": out["value"],
+        "unit": "sec",
+        "queries": out["queries"],
+        "sf": out["sf"],
+        "pagerank_edges_per_sec_per_core": out["pagerank"]["edges_per_sec_per_core"],
+        "corr_pairs_per_sec": out["ref_comparison"]["pairwise_corr_pairs_per_sec"],
+        "full_stats": "BENCH_FULL.json",
+    }
 
 
 def main_child(grp: str):

@@ -6,19 +6,23 @@ first-class distributed operators: driver-side superstep loops over
 checkpointed DataFrames.
 """
 
+from deepgraph_spark.algorithms.bfs import bfs
 from deepgraph_spark.algorithms.checkpoint import SuperstepCheckpoint
 from deepgraph_spark.algorithms.components import connected_components
 from deepgraph_spark.algorithms.kcore import k_core
 from deepgraph_spark.algorithms.lpa import label_propagation
 from deepgraph_spark.algorithms.pagerank import pagerank
+from deepgraph_spark.algorithms.scc import strongly_connected_components
 from deepgraph_spark.algorithms.triangles import triangle_count, triangles_per_vertex
 
 __all__ = [
     "SuperstepCheckpoint",
+    "bfs",
     "connected_components",
     "k_core",
     "label_propagation",
     "pagerank",
+    "strongly_connected_components",
     "triangle_count",
     "triangles_per_vertex",
 ]

@@ -130,6 +130,20 @@ def connected_components(
             "cp_raw", F.coalesce("cp_raw", F.col(index_col))
         )
 
+    return finalize_component_labels(
+        all_labeled, index_col, label_by_size, consolidate_singles
+    )
+
+
+def finalize_component_labels(
+    all_labeled: DataFrame,
+    index_col: str,
+    label_by_size: bool,
+    consolidate_singles: bool,
+) -> DataFrame:
+    """Reference post-processing shared by weak CC and SCC: raw canonical
+    min-vertex labels in ``cp_raw`` → the reference's size-ordered /
+    singles-consolidated ``cp`` (deepgraph.py:2301-2319)."""
     if not (label_by_size or consolidate_singles):
         return all_labeled.withColumnRenamed("cp_raw", "cp")
 

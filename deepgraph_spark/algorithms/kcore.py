@@ -66,5 +66,13 @@ def k_core(
             old.unpersist()
         if n_cur == n_prev:
             break
+    else:
+        # never return a non-fixed-point member set silently (round-3 advice)
+        live = history[-1]["n_edges"] if history else "all"
+        raise RuntimeError(
+            f"k_core did not reach a fixed point within max_iter={max_iter} "
+            f"rounds ({live} edges still live); raise max_iter"
+        )
     members = prev.select(F.col("s").alias("id")).distinct()
+    und.unpersist()  # free the initial checkpoint's storage blocks
     return members, history

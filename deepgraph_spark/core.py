@@ -314,16 +314,34 @@ class DeepGraphFrame:
     # -- graph algorithms (ref append_cp, deepgraph.py:2244-2319) -----------
     def append_cp(
         self,
+        directed: bool = False,
+        connection: str = "weak",
         consolidate_singles: bool = False,
         col_name: str = "cp",
         **kw,
     ) -> "DeepGraphFrame":
         """Attach connected-component labels to ``v`` — the reference's
         ``append_cp`` (size-ordered labels; ``consolidate_singles`` puts all
-        singletons under label 0), computed distributed."""
-        from deepgraph_spark.algorithms import connected_components
+        singletons under label 0), computed distributed.
 
-        cp = connected_components(
+        ``directed=True, connection='strong'`` labels strongly connected
+        components (mutual reachability — ref deepgraph.py:2244-2258, where
+        scipy.csgraph does the switch); ``connection='weak'`` on a directed
+        graph equals undirected CC (scipy symmetrizes the same way), so both
+        weak paths share the large-star/small-star kernel."""
+        if connection not in ("weak", "strong"):
+            raise ValueError("connection must be 'weak' or 'strong'")
+        from deepgraph_spark.algorithms import (
+            connected_components,
+            strongly_connected_components,
+        )
+
+        kernel = (
+            strongly_connected_components
+            if (directed and connection == "strong")
+            else connected_components
+        )
+        cp = kernel(
             self.e,
             vertices=self.v.select(self.index_col),
             index_col=self.index_col,
@@ -410,6 +428,16 @@ def with_dense_index(df: DataFrame, order_by, index_col: str = "id") -> DataFram
        extra shuffle, no window.
 
     ``order_by``: column names or Column expressions (e.g. ``F.desc(...)``).
+
+    Fault-tolerance tradeoff (round-3 advice): the eager ``localCheckpoint``
+    pins blocks in executor storage WITHOUT lineage — on a real cluster an
+    executor loss during the downstream job loses those blocks and fails the
+    job (unlike a lineage-recoverable plan, which recomputes). That is the
+    price of a layout both passes must read identically; long cluster jobs
+    that need loss-recovery should persist the sorted layout to a reliable
+    store first (``df.write.parquet`` + re-read — the same protocol
+    ``SuperstepCheckpoint`` uses with ``checkpoint_dir``) and call this on
+    the re-read table, making pass-1 input durable.
     """
     if not isinstance(order_by, (list, tuple)):
         order_by = [order_by]

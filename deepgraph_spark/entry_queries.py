@@ -164,6 +164,77 @@ def q_cc_events(spark, sf_dir):
     )
 
 
+def scc_event_edges(spark, sf_dir):
+    """Directed gate graph with genuine cycles: the forward band edges plus
+    the reversed edge for every pair whose target id is ≡0 (mod 7) — the
+    transcript reply graph IS directed, so the strong-components gate runs on
+    an asymmetric edge set rather than a symmetrized one."""
+    e = event_edges(spark, sf_dir).select("s", "t")
+    back = e.where(F.col("t") % 7 == 0).select(
+        F.col("t").alias("s"), F.col("s").alias("t")
+    )
+    return e.union(back)
+
+
+def q_scc_events(spark, sf_dir):
+    """Strongly connected components (append_cp(directed=True,
+    connection='strong'), ref deepgraph.py:2244-2258): reachability-labeling
+    kernel; oracle = directed transitive closure + mutual-reach min."""
+    from deepgraph_spark.algorithms import strongly_connected_components
+
+    de = scc_event_edges(spark, sf_dir)
+    verts = _t(spark, sf_dir, "events").select(F.col("event_id").alias("id"))
+    out = strongly_connected_components(de, vertices=verts, label_by_size=False)
+    return out.select(
+        F.col("id").cast("long").alias("id"), F.col("cp").cast("long").alias("scc")
+    )
+
+
+BFS_ORACLE_CAP = 30  # q_bfs_events asserts engine max dist < this
+
+
+def q_bfs_events(spark, sf_dir):
+    """Multi-source BFS hop distance over the directed band graph (replaces
+    the reference's export-to-graph-tool-then-traverse pattern,
+    terrorists.py:222,310). Seeds: every event with id ≡ 0 (mod 97)."""
+    from deepgraph_spark.algorithms import bfs
+
+    e = event_edges(spark, sf_dir).select("s", "t")
+    seeds = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_id") % 97 == 0)
+        .select(F.col("event_id").alias("id"))
+    )
+    out = bfs(e, seeds)
+    mx = out.agg(F.max("dist")).collect()[0][0]
+    if mx is not None and mx >= BFS_ORACLE_CAP:
+        # the oracle's recursion is depth-capped; never let the depths diverge
+        raise RuntimeError(
+            f"bfs reached dist {mx} >= oracle cap {BFS_ORACLE_CAP}; raise the cap"
+        )
+    return out.select(
+        F.col("id").cast("long").alias("id"), F.col("dist").cast("long").alias("dist")
+    )
+
+
+def q_line_dedup_documents(spark, sf_dir):
+    """Global line-level exact dedup (C4/RefinedWeb-style): the synthetic
+    documents carry no newlines, so the gate first folds every 8 tokens into
+    a line (identical regexp on both engines), then keeps only the globally
+    first occurrence of each line and reassembles the cleaned docs."""
+    from deepgraph_spark.pipeline import line_exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    lined = docs.select(
+        "doc_id",
+        F.regexp_replace("text", r"((?:\S+\s+){7}\S+)\s+", "$1\n").alias("text"),
+    )
+    out = line_exact_dedup(lined, hash_fn="md5")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "n_lines", "n_kept", "text"
+    )
+
+
 PR_ITERS = 20  # fixed superstep count so the unrolled SQL oracle is exact
 LPA_ITERS = 5
 
@@ -440,6 +511,90 @@ def q_ann_ivf_embeddings(spark, sf_dir):
     )
 
 
+ANN_LSH_TABLES = 4
+ANN_LSH_PLANES = 6
+ANN_LSH_DIM = 64  # driver testdata embedding dim (all sf)
+
+
+def _ann_lsh_planes() -> np.ndarray:
+    """Deterministic Rademacher ±1 hyperplanes — a valid sign-of-dot LSH
+    family whose literals the SQL oracle embeds verbatim, so engine and
+    oracle bucket identically (the same full-mirror trick as the MinHash
+    oracle)."""
+    rng = np.random.default_rng(7)
+    return rng.choice(
+        np.array([-1.0, 1.0]), size=(ANN_LSH_TABLES, ANN_LSH_PLANES, ANN_LSH_DIM)
+    )
+
+
+def q_ann_lsh_embeddings(spark, sf_dir):
+    """Hyperplane-LSH ANN gate: bucket collisions across 4 tables of 6
+    Rademacher planes are the candidates; exact cosine top-5 re-rank within
+    them. The whole pipeline (bucket bits included) is mirrored in DuckDB."""
+    from deepgraph_spark.pipeline import ann_topk_lsh
+
+    out = ann_topk_lsh(
+        _t(spark, sf_dir, "embeddings"),
+        k=5,
+        n_planes=ANN_LSH_PLANES,
+        n_tables=ANN_LSH_TABLES,
+        planes=_ann_lsh_planes(),
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        "cosine",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _ann_lsh_oracle_sql(k: int = 5) -> str:
+    planes = _ann_lsh_planes()
+    per_table = []
+    for t in range(ANN_LSH_TABLES):
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(ve, "
+            f"[{', '.join(str(x) for x in planes[t, p])}]) > 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+            for p in range(ANN_LSH_PLANES)
+        )
+        per_table.append(
+            f"SELECT vec_id, {t} AS tbl, ({bits}) AS bucket FROM v"
+        )
+    buckets = "\n        UNION ALL\n        ".join(per_table)
+    return f"""
+        WITH v AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+            FROM embeddings
+        ),
+        vv AS (SELECT vec_id, ve, list_dot_product(ve, ve) AS ss FROM v),
+        buckets AS (
+        {buckets}
+        ),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+            FROM buckets a JOIN buckets b
+              ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id != b.vec_id
+        ),
+        scored AS (
+            SELECT c.query_id, c.neighbor_id,
+                   ROUND(list_dot_product(q.ve, n.ve)
+                         / (SQRT(q.ss) * SQRT(n.ss)), 6) AS cosine
+            FROM cand c
+            JOIN vv q ON q.vec_id = c.query_id
+            JOIN vv n ON n.vec_id = c.neighbor_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= {k}
+    """
+
+
 def q_kcore_events(spark, sf_dir):
     """k-core (k=2) of the events band graph: iterative degree peel to a
     fixed point; the oracle unrolls the same monotone peel (extra rounds
@@ -448,7 +603,15 @@ def q_kcore_events(spark, sf_dir):
     from deepgraph_spark.algorithms import k_core
 
     e = event_edges(spark, sf_dir).select("s", "t")
-    members, _hist = k_core(e, k=2)
+    members, hist = k_core(e, k=2)
+    # the oracle unrolls KCORE_ORACLE_ROUNDS peel rounds; fail loud if the
+    # engine needed more, so oracle depth and engine depth cannot silently
+    # diverge at a larger scale factor (round-3 advice)
+    if len(hist) > KCORE_ORACLE_ROUNDS:
+        raise RuntimeError(
+            f"k_core took {len(hist)} rounds > oracle unroll "
+            f"{KCORE_ORACLE_ROUNDS}; raise KCORE_ORACLE_ROUNDS"
+        )
     return members.select(F.col("id").cast("long").alias("id"))
 
 
@@ -712,6 +875,37 @@ ORACLES: dict[str, str] = {
         FROM events ev LEFT JOIN reach r ON r.a = ev.event_id
         GROUP BY ev.event_id
     """,
+    "scc_events": f"""
+        WITH RECURSIVE
+        base AS (SELECT s, t FROM ({EVENT_EDGES_SQL})),
+        de AS (SELECT s, t FROM base
+               UNION SELECT t AS s, s AS t FROM base WHERE t % 7 = 0),
+        reach(a, b) AS (
+            SELECT s, t FROM de
+            UNION
+            SELECT r.a, d.t FROM reach r JOIN de d ON r.b = d.s
+        ),
+        mutual AS (
+            SELECT r1.a AS v, r1.b AS u
+            FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+        )
+        SELECT ev.event_id AS id,
+               LEAST(ev.event_id, COALESCE(MIN(m.u), ev.event_id)) AS scc
+        FROM events ev LEFT JOIN mutual m ON m.v = ev.event_id
+        GROUP BY ev.event_id
+    """,
+    "bfs_events": f"""
+        WITH RECURSIVE
+        e AS (SELECT s, t FROM ({EVENT_EDGES_SQL})),
+        seeds AS (SELECT event_id AS id FROM events WHERE event_id % 97 = 0),
+        walk(id, dist) AS (
+            SELECT id, 0 FROM seeds
+            UNION
+            SELECT e.t, w.dist + 1
+            FROM walk w JOIN e ON e.s = w.id WHERE w.dist < {BFS_ORACLE_CAP}
+        )
+        SELECT id, CAST(MIN(dist) AS BIGINT) AS dist FROM walk GROUP BY id
+    """,
     "sessionize_events": """
         WITH g AS (
             SELECT user_id, ts, event_id,
@@ -749,6 +943,44 @@ ORACLES: dict[str, str] = {
     "exact_dedup_documents": """
         SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         FROM documents GROUP BY text
+    """,
+    "line_dedup_documents": r"""
+        WITH lined AS (
+            SELECT doc_id,
+                   regexp_replace(text, '((?:\S+\s+){7}\S+)\s+',
+                                  '\1' || chr(10), 'g') AS text
+            FROM documents
+        ),
+        split AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM lined),
+        lines0 AS (
+            SELECT doc_id, generate_subscripts(l, 1) - 1 AS pos,
+                   trim(unnest(l)) AS line
+            FROM split
+        ),
+        lines AS (
+            SELECT doc_id, pos, line,
+                   ('0x' || substr(md5(line), 1, 15))::BIGINT AS h
+            FROM lines0 WHERE line <> ''
+        ),
+        ranked AS (
+            SELECT doc_id, pos, line,
+                   ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+            FROM lines
+        ),
+        kept AS (SELECT doc_id, pos, line FROM ranked WHERE rn = 1),
+        per_doc_kept AS (
+            SELECT doc_id, COUNT(*) AS n_kept,
+                   string_agg(line, chr(10) ORDER BY pos) AS clean
+            FROM kept GROUP BY doc_id
+        ),
+        per_doc_total AS (
+            SELECT doc_id, COUNT(*) AS n_lines FROM lines GROUP BY doc_id
+        )
+        SELECT d.doc_id, COALESCE(t.n_lines, 0) AS n_lines,
+               COALESCE(k.n_kept, 0) AS n_kept, COALESCE(k.clean, '') AS text
+        FROM documents d
+        LEFT JOIN per_doc_total t USING (doc_id)
+        LEFT JOIN per_doc_kept k USING (doc_id)
     """,
     "ngram_jaccard_documents": """
         WITH d AS (
@@ -1119,7 +1351,10 @@ ORACLES["ann_ivf_embeddings"] = """
 """
 
 
-def _kcore_oracle_sql(k: int = 2, rounds: int = 15) -> str:
+KCORE_ORACLE_ROUNDS = 15  # q_kcore_events asserts engine rounds <= this
+
+
+def _kcore_oracle_sql(k: int = 2, rounds: int = KCORE_ORACLE_ROUNDS) -> str:
     """Unrolled iterative peel: b{r} = vertices under degree k in round r's
     edge set, i{r+1} = edges with neither endpoint bad. The peel is monotone,
     so rounds past the fixed point are identity — ``rounds`` is an upper
@@ -1155,6 +1390,7 @@ def _kcore_oracle_sql(k: int = 2, rounds: int = 15) -> str:
 
 
 ORACLES["kcore_events"] = _kcore_oracle_sql()
+ORACLES["ann_lsh_embeddings"] = _ann_lsh_oracle_sql()
 
 ORACLES["repetition_stats_documents"] = """
     WITH d AS (
@@ -1331,12 +1567,15 @@ QUERIES = {
     "cp_intersection_events": q_cp_intersection_events,
     "triangles_events": q_triangles_events,
     "cc_events": q_cc_events,
+    "scc_events": q_scc_events,
+    "bfs_events": q_bfs_events,
     "sessionize_events": q_sessionize_events,
     "top_components_events": q_top_components_events,
     "pagerank_events": q_pagerank_events,
     "ppr_events": q_ppr_events,
     "lpa_events": q_lpa_events,
     "exact_dedup_documents": q_exact_dedup_documents,
+    "line_dedup_documents": q_line_dedup_documents,
     "ngram_jaccard_documents": q_ngram_jaccard_documents,
     "embedding_neardup": q_embedding_neardup,
     "ann_topk_embeddings": q_ann_topk_embeddings,
@@ -1349,6 +1588,7 @@ QUERIES = {
     "doc_fingerprints": q_doc_fingerprints,
     "update_edges_events": q_update_edges_events,
     "ann_ivf_embeddings": q_ann_ivf_embeddings,
+    "ann_lsh_embeddings": q_ann_lsh_embeddings,
     "kcore_events": q_kcore_events,
     "repetition_stats_documents": q_repetition_stats_documents,
     "corpus_ngram_topk_documents": q_corpus_ngram_topk_documents,

@@ -12,6 +12,7 @@ from deepgraph_spark.pipeline.curation import (
 from deepgraph_spark.pipeline.dedup import (
     embedding_neardup_pairs,
     exact_dedup,
+    line_exact_dedup,
     minhash_lsh_dedup,
     neardup_clusters,
     ngram_jaccard_pairs,
@@ -33,6 +34,7 @@ from deepgraph_spark.pipeline.textstats import (
 
 __all__ = [
     "exact_dedup",
+    "line_exact_dedup",
     "minhash_lsh_dedup",
     "neardup_clusters",
     "simhash_fingerprints",

@@ -383,14 +383,27 @@ def _hyperplane_buckets(
     n_planes: int,
     n_tables: int,
     seed: int,
+    planes: "np.ndarray | None" = None,
 ) -> DataFrame:
     """Random-hyperplane LSH signatures: one (id, table, bucket) row per
     table — narrow (no vector payload), one vectorized GEMM per Arrow batch
-    against the broadcast plane matrix."""
-    first = emb.select(vec_col).first()
-    dim = len(first[0])
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_tables, n_planes, dim))
+    against the broadcast plane matrix.
+
+    ``planes`` (shape (n_tables, n_planes, dim)) overrides the seeded
+    Gaussian draw — e.g. Rademacher ±1 planes whose literals a SQL oracle
+    can mirror exactly (sign-of-dot LSH is valid for any symmetric plane
+    distribution)."""
+    if planes is None:
+        first = emb.select(vec_col).first()
+        dim = len(first[0])
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((n_tables, n_planes, dim))
+    else:
+        planes = np.asarray(planes, dtype=np.float64)
+        if planes.shape[:2] != (n_tables, n_planes):
+            raise ValueError(
+                f"planes shape {planes.shape} != (n_tables={n_tables}, n_planes={n_planes}, dim)"
+            )
     bp = emb.sparkSession.sparkContext.broadcast(planes)
 
     def bucketize(it):
@@ -410,4 +423,81 @@ def _hyperplane_buckets(
 
     return emb.select(id_col, vec_col).mapInPandas(
         bucketize, "vid long, table int, bucket long"
+    )
+
+
+def line_exact_dedup(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_sep: str = "\n",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """C4/RefinedWeb-style global line-level exact dedup.
+
+    Split every document into lines, trim each, drop empties, and keep only
+    the globally FIRST occurrence of each distinct line (canonical order:
+    min ``(doc_id, line_no)``). Returns one row per input document:
+    ``(id_col, n_lines, n_kept, text_col)`` with the cleaned text
+    reassembled in original line order (empty string when every line was a
+    repeat).
+
+    Plan shape: one ``posexplode`` over the corpus, then the winner
+    decision runs on ``(line_hash, doc_id, pos)`` only — a min-struct
+    aggregate keyed by the 64-bit line hash, so the shuffle that touches
+    every line of a 100 TB corpus carries three longs per line, never the
+    line text. Kept lines are recovered with a co-keyed semi-join back to
+    the exploded table and reassembled per doc with a sort-free
+    ``sort_array(collect_list(struct(pos, line)))`` aggregate. Standard
+    practice (C4, RefinedWeb) accepts the 2^-64 hash-collision risk;
+    ``hash_fn='md5'`` switches to the 60-bit shared MD5 family
+    (:func:`hash60`) so a DuckDB oracle reproduces identical groups.
+    """
+    if hash_fn == "xxhash64":
+        hcol = F.xxhash64("line")
+    elif hash_fn == "md5":
+        hcol = hash60(F.col("line"))
+    else:
+        raise ValueError("hash_fn must be 'xxhash64' or 'md5'")
+
+    lines = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), line_sep)).alias("pos", "raw"),
+        )
+        .select(id_col, "pos", F.trim(F.col("raw")).alias("line"))
+        .where(F.col("line") != "")
+        .withColumn("_h", hcol)
+    )
+    winners = lines.groupBy("_h").agg(
+        F.min(F.struct(id_col, "pos")).alias("w"),
+    )
+    kept = lines.join(
+        winners.select(
+            "_h", F.col("w")[id_col].alias(id_col), F.col("w.pos").alias("pos")
+        ),
+        ["_h", id_col, "pos"],
+    )
+    per_doc_kept = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+        ).alias("_clean"),
+    )
+    per_doc_total = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        docs.select(id_col)
+        .join(per_doc_total, id_col, "left")
+        .join(per_doc_kept, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_lines", F.lit(0)).cast("long").alias("n_lines"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("_clean", F.lit("")).alias(text_col),
+        )
     )

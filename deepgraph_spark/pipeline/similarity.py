@@ -95,6 +95,7 @@ def ann_topk_lsh(
     n_planes: int = 8,
     n_tables: int = 4,
     seed: int = 42,
+    planes=None,
 ) -> DataFrame:
     """LSH-bucketed approximate top-k: random-hyperplane signatures over
     ``n_tables`` tables; candidates = bucket collisions; exact cosine re-rank
@@ -110,7 +111,7 @@ def ann_topk_lsh(
 
     buckets = _hyperplane_buckets(
         corpus, vec_col=vec_col, id_col=id_col, n_planes=n_planes,
-        n_tables=n_tables, seed=seed,
+        n_tables=n_tables, seed=seed, planes=planes,
     )
     left = buckets.select(F.col("vid").alias("query_id"), "table", "bucket")
     right = buckets.select(F.col("vid").alias("neighbor_id"), "table", "bucket")

@@ -62,5 +62,9 @@ def exact_dedup_replay(
         .outputMode("append")
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    if not q.awaitTermination(timeout_sec):
+        # timed out mid-replay: stop and fail loud rather than silently
+        # returning a partial sink (round-3 advice)
+        q.stop()
+        raise TimeoutError(f"availableNow replay did not finish in {timeout_sec}s")
     return spark.table(out_name)

@@ -91,3 +91,86 @@ def random_digraph(n: int, m: int, seed: int = 0) -> np.ndarray:
 def star_graph(n: int) -> np.ndarray:
     """Hub vertex 0 — the skew fixture (FIXTURES.md F4)."""
     return np.column_stack([np.zeros(n - 1, dtype=np.int64), np.arange(1, n, dtype=np.int64)])
+
+
+def scc_oracle(edges, n: int) -> np.ndarray:
+    """Strongly connected components (iterative Tarjan); label = min vertex
+    id of each SCC — the canonical labeling the engine emits with
+    label_by_size=False."""
+    adj = [[] for _ in range(n)]
+    for a, b in edges:
+        a, b = int(a), int(b)
+        if a != b:
+            adj[a].append(b)
+    index = [-1] * n
+    low = [0] * n
+    on_stack = [False] * n
+    stack: list[int] = []
+    label = np.full(n, -1, dtype=np.int64)
+    counter = 0
+    for root in range(n):
+        if index[root] != -1:
+            continue
+        # iterative Tarjan: (vertex, child-iterator position) work stack
+        work = [(root, 0)]
+        while work:
+            v, pi = work.pop()
+            if pi == 0:
+                index[v] = low[v] = counter
+                counter += 1
+                stack.append(v)
+                on_stack[v] = True
+            recurse = False
+            for i in range(pi, len(adj[v])):
+                w = adj[v][i]
+                if index[w] == -1:
+                    work.append((v, i + 1))
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if on_stack[w]:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack[w] = False
+                    comp.append(w)
+                    if w == v:
+                        break
+                m = min(comp)
+                for w in comp:
+                    label[w] = m
+            if work:
+                parent = work[-1][0]
+                low[parent] = min(low[parent], low[v])
+    return label
+
+
+def bfs_oracle(edges, n: int, sources, directed: bool = True) -> np.ndarray:
+    """Multi-source BFS hop distance; -1 = unreached."""
+    from collections import deque
+
+    adj = [[] for _ in range(n)]
+    for a, b in edges:
+        a, b = int(a), int(b)
+        if a == b:
+            continue
+        adj[a].append(b)
+        if not directed:
+            adj[b].append(a)
+    dist = np.full(n, -1, dtype=np.int64)
+    dq = deque()
+    for s in sources:
+        if dist[int(s)] == -1:
+            dist[int(s)] = 0
+            dq.append(int(s))
+    while dq:
+        v = dq.popleft()
+        for w in adj[v]:
+            if dist[w] == -1:
+                dist[w] = dist[v] + 1
+                dq.append(w)
+    return dist

@@ -305,3 +305,39 @@ def test_hash60_duckdb_parity(spark):
             "SELECT ('0x' || substr(md5(?), 1, 15))::BIGINT", [v]
         ).fetchone()[0]
         assert got[v] == exp, v
+
+
+def test_line_exact_dedup(spark):
+    from deepgraph_spark.pipeline import line_exact_dedup
+
+    rows = [
+        (1, "alpha beta\ncommon line\nunique one"),
+        (2, "common line\ngamma delta"),         # "common line" repeats -> doc 1 keeps it
+        (3, "  common line \nunique one\n\n"),   # trims + empty line dropped; both repeats
+        (4, "\n\n"),                             # only empty lines -> everything removed
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in line_exact_dedup(docs).collect()
+    }
+    assert (out[1]["n_lines"], out[1]["n_kept"]) == (3, 3)
+    assert out[1]["text"] == "alpha beta\ncommon line\nunique one"
+    assert (out[2]["n_lines"], out[2]["n_kept"]) == (2, 1)
+    assert out[2]["text"] == "gamma delta"
+    assert (out[3]["n_lines"], out[3]["n_kept"]) == (2, 0)
+    assert out[3]["text"] == ""
+    assert (out[4]["n_lines"], out[4]["n_kept"]) == (0, 0)
+    assert out[4]["text"] == ""
+
+
+def test_line_exact_dedup_first_occurrence_canonical(spark):
+    """Winner is min (doc_id, pos) regardless of partitioning/order."""
+    from deepgraph_spark.pipeline import line_exact_dedup
+
+    rows = [(i, "dup line\nown %d" % i) for i in range(20, 0, -1)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(7)
+    out = line_exact_dedup(docs).collect()
+    keepers = [r["doc_id"] for r in out if r["text"].startswith("dup line")]
+    assert keepers == [1]  # the smallest doc_id keeps the shared line
+    assert all(r["n_kept"] == (2 if r["doc_id"] == 1 else 1) for r in out)

@@ -1,0 +1,142 @@
+"""Strong-components kernel vs the iterative-Tarjan oracle (mirrors the
+reference's append_cp test shape, tests/test_DeepGraph.py:407-433, for the
+directed/strong case it delegates to scipy.csgraph).
+
+Fixture graphs are embedded as disjoint id-offset copies in ONE edge set and
+solved in a single kernel run: SCC of a disjoint union is the union of the
+SCCs, and co-resident components stress the simultaneous per-class
+extraction the distributed algorithm relies on."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from deepgraph_spark.algorithms import strongly_connected_components
+from oracles import random_digraph, scc_oracle
+
+# worst cases for labeling SCC: monotone chain (all singleton SCCs, naive
+# coloring degenerates), reversed chain, one big cycle, bridged 2-cycles,
+# self loops + isolated vertex, figure-8 (two cycles sharing a vertex),
+# SCC-chain (condensation is a path)
+FIXED = [
+    ([(i, i + 1) for i in range(12)], 13),
+    ([(i + 1, i) for i in range(12)], 13),
+    ([(i, (i + 1) % 10) for i in range(10)], 10),
+    ([(0, 1), (1, 0), (1, 2), (2, 3), (3, 4), (4, 3)], 6),
+    ([(0, 0), (1, 1)], 3),
+    ([(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 2)], 5),
+    ([(0, 1), (1, 0), (1, 2), (2, 3), (3, 2), (3, 4), (4, 5), (5, 4)], 6),
+]
+
+
+def _disjoint_union(graphs):
+    """Pack (edges, n) graphs at offsets 0, 100, 200, ... of one id space."""
+    edges, total, want = [], 0, []
+    for gi, (ge, gn) in enumerate(graphs):
+        off = gi * 100
+        edges += [(a + off, b + off) for a, b in ge]
+        lab = scc_oracle(ge, gn) + off
+        want.append((off, lab))
+        total = off + gn
+    return edges, total, want
+
+
+def _run_raw(spark, edges, n):
+    e = spark.createDataFrame([(int(a), int(b)) for a, b in edges], "s long, t long")
+    v = spark.range(n).withColumnRenamed("id", "v")
+    out = strongly_connected_components(
+        e, vertices=v, index_col="v", label_by_size=False
+    )
+    return out.toPandas().set_index("v")["cp"].sort_index()
+
+
+def test_scc_fixed_graphs_disjoint_union(spark):
+    edges, n, want = _disjoint_union(FIXED)
+    got = _run_raw(spark, edges, n)
+    for off, lab in want:
+        np.testing.assert_array_equal(
+            got.loc[off : off + len(lab) - 1].to_numpy(), lab, err_msg=f"offset {off}"
+        )
+    # offset gaps are isolated vertices: singleton SCCs labeled by own id
+    gaps = sorted(set(range(n)) - {off + i for off, lab in want for i in range(len(lab))})
+    np.testing.assert_array_equal(got.loc[gaps].to_numpy(), gaps)
+
+
+def test_scc_random_digraphs_disjoint_union(spark):
+    graphs = [
+        (random_digraph(40, 60, seed=0), 40),
+        (random_digraph(40, 120, seed=1), 40),
+        (random_digraph(60, 90, seed=2), 60),
+        (random_digraph(25, 200, seed=3), 25),
+    ]
+    edges, n, want = _disjoint_union(graphs)
+    got = _run_raw(spark, edges, n)
+    for off, lab in want:
+        np.testing.assert_array_equal(
+            got.loc[off : off + len(lab) - 1].to_numpy(), lab, err_msg=f"offset {off}"
+        )
+
+
+def test_scc_label_by_size_and_consolidate(spark):
+    # components: {0,1,2} (cycle), {3,4} (2-cycle), singles {5}, {6}
+    edges = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 3)]
+    e = spark.createDataFrame(edges, "s long, t long")
+    v = spark.range(7).withColumnRenamed("id", "v")
+    by_size = (
+        strongly_connected_components(e, vertices=v, index_col="v")
+        .toPandas().sort_values("v")["cp"].tolist()
+    )
+    assert by_size == [0, 0, 0, 1, 1, 2, 3]
+    consolidated = (
+        strongly_connected_components(
+            e, vertices=v, index_col="v", consolidate_singles=True
+        )
+        .toPandas().sort_values("v")["cp"].tolist()
+    )
+    assert consolidated == [1, 1, 1, 2, 2, 0, 0]
+
+
+def test_scc_vs_weak_cc_on_symmetric_graph(spark):
+    """On a symmetric edge set SCC must equal undirected CC — and
+    append_cp(directed=True, connection='strong'|'weak') must route to the
+    matching kernel."""
+    from deepgraph_spark.algorithms import connected_components
+    from deepgraph_spark.core import DeepGraphFrame
+
+    und = random_digraph(30, 40, seed=7)
+    sym = np.vstack([und, und[:, ::-1]])
+    e = spark.createDataFrame([(int(a), int(b)) for a, b in sym], "s long, t long")
+    v = spark.range(30).withColumnRenamed("id", "v")
+    strong = (
+        strongly_connected_components(e, vertices=v, index_col="v", label_by_size=False)
+        .toPandas().sort_values("v")["cp"].to_numpy()
+    )
+    weak = (
+        connected_components(e, vertices=v, index_col="v", label_by_size=False)
+        .toPandas().sort_values("v")["cp"].to_numpy()
+    )
+    np.testing.assert_array_equal(strong, weak)
+
+    g = DeepGraphFrame(v, e, index_col="v")
+    g.append_cp(directed=True, connection="strong", label_by_size=False)
+    routed = g.v.toPandas().sort_values("v")["cp"].to_numpy()
+    np.testing.assert_array_equal(routed, strong)
+    with pytest.raises(ValueError, match="weak"):
+        DeepGraphFrame(v, e, index_col="v").append_cp(connection="bogus")
+
+
+def test_scc_checkpoint_resume(spark, tmp_path):
+    edges = [(0, 1), (1, 0), (1, 2), (2, 3), (3, 2)]
+    e = spark.createDataFrame(edges, "s long, t long")
+    kw = dict(vertices=spark.range(4).withColumnRenamed("id", "v"), index_col="v",
+              label_by_size=False, checkpoint_dir=str(tmp_path), job_id="scc_t")
+    first = (
+        strongly_connected_components(e, **kw)
+        .toPandas().sort_values("v")["cp"].tolist()
+    )
+    # resume from the committed state: must reproduce identical labels
+    second = (
+        strongly_connected_components(e, **kw)
+        .toPandas().sort_values("v")["cp"].tolist()
+    )
+    assert first == second == [0, 0, 2, 2]

@@ -104,6 +104,53 @@ scale, AQE's call. Narrow (s, t) long pairs are the only payload anywhere;
 the runtime loop localCheckpoints each round so lineage stays flat and reads
 convergence off the same count() that materializes the round."""))
 
+# scc label superstep: one joint f/g relaxation over the checkpointed edges
+_scc_e = _kc_e.selectExpr("s as a", "t as b").distinct().localCheckpoint(eager=True)
+_scc_v = _scc_e.select(F.col("a").alias("id")).union(_scc_e.select("b")).distinct()
+_scc_lab = _scc_v.select("id", F.col("id").alias("flab"), F.col("id").alias("glab")).localCheckpoint(eager=True)
+_scc_fn = (_scc_e.join(_scc_lab.select(F.col("id").alias("a"), F.col("flab").alias("nf")), "a")
+           .groupBy(F.col("b").alias("id")).agg(F.min("nf").alias("nf")))
+_scc_gn = (_scc_e.join(_scc_lab.select(F.col("id").alias("b"), F.col("glab").alias("ng")), "b")
+           .groupBy(F.col("a").alias("id")).agg(F.min("ng").alias("ng")))
+_scc_new = (_scc_lab.join(_scc_fn, "id", "left").join(_scc_gn, "id", "left")
+            .select("id",
+                    F.least("flab", F.coalesce("nf", "flab")).alias("flab"),
+                    F.least("glab", F.coalesce("ng", "glab")).alias("glab")))
+sections.append(("SCC label superstep (joint min-ancestor/min-descendant relaxation)", cap(_scc_new),
+"""One superstep of the reachability-labeling SCC kernel: both directions'
+min-label aggregates run off the same checkpointed (a, b) edge set and the
+same label state, fused into ONE plan/action — two keyed aggregations plus
+two left joins on long ids, hash-partitioned end to end, no Python anywhere.
+The runtime loop (algorithms/scc.py) localCheckpoints each superstep and
+reads convergence off the materializing signature aggregate. Pointer-jumping
+was measured and rejected here: its double self-join triggers exponential
+driver-side analysis time in Spark 4 and buys nothing on adversarial id
+layouts (see _min_labels_fg docstring)."""))
+
+# bfs frontier round over the same edges
+_bfs_front = _scc_v.limit(50)
+_bfs_visited = _bfs_front.withColumn("dist", F.lit(0).cast("long")).localCheckpoint(eager=True)
+_bfs_next = (_scc_e.join(_bfs_front.withColumnRenamed("id", "a"), "a")
+             .select(F.col("b").alias("id")).distinct()
+             .join(_bfs_visited.select("id"), "id", "left_anti")
+             .withColumn("dist", F.lit(1).cast("long")))
+sections.append(("BFS frontier round (frontier join + anti-join visited)", cap(_bfs_visited.union(_bfs_next)),
+"""One frontier expansion: the frontier joins the edge table on the source
+key (broadcast while the frontier is small, shuffle join when it grows — AQE
+decides per round), distinct new vertices anti-join the visited set, and the
+round's single count() action materializes the checkpointed union. Shuffle
+volume is O(frontier out-degree), never O(|V|)."""))
+
+# line-level exact dedup plan
+from deepgraph_spark.pipeline import line_exact_dedup
+_lined = docs.select("doc_id", F.regexp_replace("text", r"((?:\S+\s+){7}\S+)\s+", "$1\n").alias("text"))
+sections.append(("Line-level exact dedup (C4-style global first-occurrence)", cap(line_exact_dedup(_lined)),
+"""posexplode splits the corpus into lines once; the global winner decision
+aggregates min(struct(doc_id, pos)) keyed by the 64-bit line hash — three
+longs per line on the corpus-wide shuffle, never the line text. Kept lines
+come back via a co-keyed join on (hash, doc, pos) and reassemble per doc
+with sort_array(collect_list) — no window function, no global sort."""))
+
 # pagerank superstep plan: build manually one superstep
 from deepgraph_spark.transcripts import build_turn_graph, turn_vertices
 from deepgraph_spark.datagen import generate_transcripts
