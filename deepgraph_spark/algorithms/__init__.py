@@ -11,6 +11,7 @@ from deepgraph_spark.algorithms.checkpoint import SuperstepCheckpoint
 from deepgraph_spark.algorithms.components import connected_components
 from deepgraph_spark.algorithms.kcore import k_core
 from deepgraph_spark.algorithms.lpa import label_propagation
+from deepgraph_spark.algorithms.motifs import common_neighbor_pairs, four_cycle_count
 from deepgraph_spark.algorithms.pagerank import pagerank
 from deepgraph_spark.algorithms.scc import strongly_connected_components
 from deepgraph_spark.algorithms.triangles import triangle_count, triangles_per_vertex
@@ -18,7 +19,9 @@ from deepgraph_spark.algorithms.triangles import triangle_count, triangles_per_v
 __all__ = [
     "SuperstepCheckpoint",
     "bfs",
+    "common_neighbor_pairs",
     "connected_components",
+    "four_cycle_count",
     "k_core",
     "label_propagation",
     "pagerank",

@@ -52,17 +52,22 @@ def _min_labels_fg(verts: DataFrame, e: DataFrame, *, max_iter: int) -> DataFram
     * flab(v) = min({v} ∪ {flab(u): u→v})  — min ancestor-or-self
     * glab(v) = min({v} ∪ {glab(w): v→w})  — min descendant-or-self
 
-    Plain synchronous relaxation: O(label diameter) supersteps, the standard
-    cost of BFS-family distributed SCC phases (Fleischer FW-BW, Slota
-    Multistep are likewise diameter-bound per phase). Pointer-jumping
-    (lab ← lab(lab)) was evaluated and rejected: it provides NO asymptotic
-    help here — on monotone id layouts (e.g. a cycle labeled around its
-    min) every intermediate vertex's pointer is itself, so information still
-    moves one hop per superstep — and the double self-join it needs
-    triggers pathologically growing (exponential wall-time) driver-side
-    analysis in Spark 4 despite constant-size plans (measured: 0.3 s/iter
-    flat without it; 0.3→0.9→4.8→42 s with it). ``verts`` is (id,), ``e``
-    is (a, b) meaning a→b. Returns (id, flab, glab)."""
+    Plain synchronous relaxation: O(label diameter) supersteps at FLAT
+    per-superstep cost (measured stable through 35+ iterations), the
+    standard complexity of BFS-family distributed SCC phases (Fleischer
+    FW-BW, Slota Multistep are likewise diameter-bound per phase).
+    Pointer-jumping (lab ← lab(lab)) was evaluated and rejected on two
+    independent grounds: (1) no asymptotic help on adversarial id layouts —
+    where ids run against the propagation direction every intermediate
+    vertex's pointer is itself, so information still moves one hop per
+    superstep; (2) ANY join whose two sides both derive from the iterated
+    label state — one self-join or two, Column-object or USING condition,
+    even with the pointer side eagerly checkpointed to its own RDD leaf —
+    makes Spark 4 driver-side work grow exponentially from ~iteration 11
+    (0.3 s/iter flat → 1.3 → 6 → 26 → 105+ s) despite constant-size plans,
+    flat RDD lineage, and constant data. Joins against STATIC inputs (the
+    edge table) stay flat indefinitely. ``verts`` is (id,), ``e`` is
+    (a, b) meaning a→b. Returns (id, flab, glab)."""
     lab = verts.select("id", F.col("id").alias("flab"), F.col("id").alias("glab"))
 
     prev_sig = None
@@ -106,9 +111,6 @@ def _min_labels_fg(verts: DataFrame, e: DataFrame, *, max_iter: int) -> DataFram
             f"_min_labels_fg did not converge in {max_iter} supersteps — raise max_label_iter"
         )
     return lab
-
-
-_STATE_SCHEMA = "kind string, x long, y long"
 
 
 def strongly_connected_components(

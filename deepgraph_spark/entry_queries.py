@@ -154,6 +154,16 @@ def q_triangles_events(spark, sf_dir):
     return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
+def q_four_cycles_events(spark, sf_dir):
+    """4-cycle count of the events band graph via the diagonal identity
+    (#C4 = sum over vertex pairs of p*(p-1) / 4, p = common neighbors) —
+    motif coverage one step past triangles, same join-only plan family."""
+    from deepgraph_spark.algorithms import four_cycle_count
+
+    e = event_edges(spark, sf_dir).select("s", "t")
+    return four_cycle_count(e)
+
+
 def q_cc_events(spark, sf_dir):
     from deepgraph_spark.algorithms import connected_components
 
@@ -875,6 +885,23 @@ ORACLES: dict[str, str] = {
         FROM events ev LEFT JOIN reach r ON r.a = ev.event_id
         GROUP BY ev.event_id
     """,
+    "four_cycles_events": f"""
+        WITH e AS (SELECT s, t FROM ({EVENT_EDGES_SQL})),
+        und AS (
+            SELECT DISTINCT s, t FROM (
+                SELECT s, t FROM e WHERE s != t
+                UNION ALL
+                SELECT t AS s, s AS t FROM e WHERE s != t
+            )
+        ),
+        w AS (
+            SELECT n1.t AS a, n2.t AS b
+            FROM und n1 JOIN und n2 ON n1.s = n2.s AND n1.t < n2.t
+        ),
+        p AS (SELECT a, b, COUNT(*) AS p FROM w GROUP BY a, b)
+        SELECT CAST(COALESCE(SUM(p * (p - 1)), 0) / 4 AS BIGINT) AS n_four_cycles
+        FROM p
+    """,
     "scc_events": f"""
         WITH RECURSIVE
         base AS (SELECT s, t FROM ({EVENT_EDGES_SQL})),
@@ -1566,6 +1593,7 @@ QUERIES = {
     "geo_nation": q_geo_nation,
     "cp_intersection_events": q_cp_intersection_events,
     "triangles_events": q_triangles_events,
+    "four_cycles_events": q_four_cycles_events,
     "cc_events": q_cc_events,
     "scc_events": q_scc_events,
     "bfs_events": q_bfs_events,

@@ -2,7 +2,7 @@
 
     spark-submit --master local[N] --py-files deepgraph_spark.zip \
         jobs/graph_kernels_job.py --turns 100000 --tau 120 \
-        --kernels pagerank,cc,lpa,triangles --checkpoint /tmp/ck
+        --kernels pagerank,cc,scc,lpa,triangles,kcore,bfs,c4 --checkpoint /tmp/ck
 
 Each kernel checkpoints per superstep under --checkpoint/<kernel> and
 resumes if re-run. Prints one JSON line of timings + summary stats.
@@ -19,8 +19,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--turns", type=int, default=100_000)
     ap.add_argument("--tau", type=float, default=120.0)
-    ap.add_argument("--kernels", default="pagerank,cc,lpa,triangles")
+    ap.add_argument("--kernels", default="pagerank,cc,lpa,triangles")  # also: scc,kcore,bfs,c4
     ap.add_argument("--checkpoint", default=None)
+    ap.add_argument(
+        "--max-label-iter", type=int, default=2000,
+        help="SCC label-propagation superstep cap; the band graph's label "
+             "diameter is roughly conversation-duration/tau, so long "
+             "conversations need a high cap (supersteps are flat-cost)",
+    )
     ap.add_argument("--input", default=None)
     args = ap.parse_args()
 
@@ -31,9 +37,13 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     from deepgraph_spark.algorithms import (
+        bfs,
         connected_components,
+        four_cycle_count,
+        k_core,
         label_propagation,
         pagerank,
+        strongly_connected_components,
         triangle_count,
     )
     from deepgraph_spark.datagen import generate_transcripts
@@ -74,9 +84,42 @@ def main():
             "sec": round(time.time() - t0, 2),
             "n_labels": lab.select("label").distinct().count(),
         }
+    if "scc" in kernels:
+        t0 = time.time()
+        scc = strongly_connected_components(
+            edges, vertices=verts, checkpoint_dir=args.checkpoint,
+            max_label_iter=args.max_label_iter,
+        )
+        out["scc"] = {
+            "sec": round(time.time() - t0, 2),
+            "n_components": scc.select("cp").distinct().count(),
+        }
     if "triangles" in kernels:
         t0 = time.time()
         out["triangles"] = {"count": triangle_count(edges), "sec": round(time.time() - t0, 2)}
+    if "kcore" in kernels:
+        t0 = time.time()
+        members, khist = k_core(edges, k=2)
+        out["kcore"] = {
+            "sec": round(time.time() - t0, 2),
+            "k": 2,
+            "n_members": members.count(),
+            "rounds": len(khist),
+        }
+    if "bfs" in kernels:
+        t0 = time.time()
+        dist = bfs(edges, verts.limit(100))
+        out["bfs"] = {
+            "sec": round(time.time() - t0, 2),
+            "n_reached": dist.count(),
+            "max_dist": dist.agg(F.max("dist")).collect()[0][0],
+        }
+    if "c4" in kernels:
+        t0 = time.time()
+        out["c4"] = {
+            "count": four_cycle_count(edges).collect()[0]["n_four_cycles"],
+            "sec": round(time.time() - t0, 2),
+        }
 
     print(json.dumps(out))
     spark.stop()

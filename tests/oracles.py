@@ -174,3 +174,19 @@ def bfs_oracle(edges, n: int, sources, directed: bool = True) -> np.ndarray:
                 dist[w] = dist[v] + 1
                 dq.append(w)
     return dist
+
+
+def four_cycle_oracle(edges, n: int) -> int:
+    """Brute-force C4 count: unordered vertex-distinct 4-cycles."""
+    nbrs = [set() for _ in range(n)]
+    for a, b in edges:
+        a, b = int(a), int(b)
+        if a != b:
+            nbrs[a].add(b)
+            nbrs[b].add(a)
+    count = 0
+    for a in range(n):
+        for b in range(a + 1, n):
+            p = len(nbrs[a] & nbrs[b])
+            count += p * (p - 1) // 2
+    return count // 2
