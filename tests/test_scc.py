@@ -125,6 +125,40 @@ def test_scc_vs_weak_cc_on_symmetric_graph(spark):
         DeepGraphFrame(v, e, index_col="v").append_cp(connection="bogus")
 
 
+def test_scc_accelerated_equals_plain(spark):
+    """Pointer-jump + parquet-barrier label propagation (auto-enabled in
+    local mode) must give identical labels to plain relaxation."""
+    e = random_digraph(35, 70, seed=11)
+    edf = spark.createDataFrame([(int(a), int(b)) for a, b in e], "s long, t long")
+    v = spark.range(35).withColumnRenamed("id", "v")
+    fast = (
+        strongly_connected_components(
+            edf, vertices=v, index_col="v", label_by_size=False, accelerate=True
+        ).toPandas().sort_values("v")["cp"].to_numpy()
+    )
+    plain = (
+        strongly_connected_components(
+            edf, vertices=v, index_col="v", label_by_size=False, accelerate=False
+        ).toPandas().sort_values("v")["cp"].to_numpy()
+    )
+    np.testing.assert_array_equal(fast, plain)
+    np.testing.assert_array_equal(fast, scc_oracle(e, 35))
+
+
+def test_scc_long_chain_accelerated(spark):
+    """A 150-hop chain converges fast under the jump path (plain relaxation
+    would need 150+ supersteps; the cap below would fail without jumps)."""
+    edges = [(i, i + 1) for i in range(150)]
+    e = spark.createDataFrame(edges, "s long, t long")
+    v = spark.range(151).withColumnRenamed("id", "v")
+    out = strongly_connected_components(
+        e, vertices=v, index_col="v", label_by_size=False,
+        accelerate=True, max_label_iter=40,
+    )
+    got = out.toPandas().sort_values("v")["cp"].to_numpy()
+    np.testing.assert_array_equal(got, np.arange(151))
+
+
 def test_scc_checkpoint_resume(spark, tmp_path):
     edges = [(0, 1), (1, 0), (1, 2), (2, 3), (3, 2)]
     e = spark.createDataFrame(edges, "s long, t long")

@@ -117,15 +117,18 @@ _scc_new = (_scc_lab.join(_scc_fn, "id", "left").join(_scc_gn, "id", "left")
                     F.least("flab", F.coalesce("nf", "flab")).alias("flab"),
                     F.least("glab", F.coalesce("ng", "glab")).alias("glab")))
 sections.append(("SCC label superstep (joint min-ancestor/min-descendant relaxation)", cap(_scc_new),
-"""One superstep of the reachability-labeling SCC kernel: both directions'
-min-label aggregates run off the same checkpointed (a, b) edge set and the
-same label state, fused into ONE plan/action — two keyed aggregations plus
-two left joins on long ids, hash-partitioned end to end, no Python anywhere.
-The runtime loop (algorithms/scc.py) localCheckpoints each superstep and
-reads convergence off the materializing signature aggregate. Pointer-jumping
-was measured and rejected here: its double self-join triggers exponential
-driver-side analysis time in Spark 4 and buys nothing on adversarial id
-layouts (see _min_labels_fg docstring)."""))
+"""One superstep of the reachability-labeling SCC kernel (plain form shown):
+both directions' min-label aggregates run off the same checkpointed (a, b)
+edge set and the same label state, fused into ONE plan/action — two keyed
+aggregations plus two left joins on long ids, hash-partitioned end to end,
+no Python anywhere. The runtime loop (algorithms/scc.py) localCheckpoints
+each superstep and reads convergence off the materializing signature
+aggregate. The accelerated mode adds two pointer-jump joins (O(log
+diameter) supersteps, measured 12x on a 200-hop band graph) with periodic
+parquet barriers — required because Spark 4's driver-side work on iterated
+self-joins of the label state otherwise grows exponentially from ~iteration
+7-11; only a file-scan-rooted plan resets it (measured; see _min_labels_fg
+docstring)."""))
 
 # bfs frontier round over the same edges
 _bfs_front = _scc_v.limit(50)
