@@ -38,7 +38,18 @@ N_TURNS = int(os.environ.get("BENCH_TURNS", "200000"))
 TAU = float(os.environ.get("BENCH_TAU", "120"))
 REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
 
-GROUPS = ["transcript", "events", "docs", "emb", "ref", "ft100k"]
+GROUPS = ["transcript", "events", "kernels2", "docs", "emb", "ref", "ft100k"]
+
+# tracked per-round but kept OUT of the headline total so `value` stays
+# comparable with rounds 1-3 (alternate mode of a counted query, or
+# operators added in round 4)
+EXCLUDE_FROM_TOTAL = {
+    "pagerank_join_transcripts",
+    "scc_events",
+    "bfs_events",
+    "four_cycles_events",
+    "line_dedup",
+}
 
 
 def _session(name: str):
@@ -162,6 +173,43 @@ def group_events() -> dict:
     return {"times": times, "extra": extra}
 
 
+def group_kernels2() -> dict:
+    """Round-4 kernels on the sf0.1 tables: accelerated SCC over the
+    directed gate graph, multi-source BFS, 4-cycle motif count, and
+    line-level dedup."""
+    from pyspark.sql import functions as F
+
+    from deepgraph_spark.algorithms import bfs, four_cycle_count, strongly_connected_components
+    from deepgraph_spark.entry_queries import (
+        event_edges,
+        q_line_dedup_documents,
+        scc_event_edges,
+    )
+
+    spark = _session("kernels2")
+    times: dict[str, list[float]] = {}
+
+    de = scc_event_edges(spark, SF_DIR).persist()
+    de.count()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    verts = ev.select(F.col("event_id").alias("id"))
+    times["scc_events"] = _repeat(
+        lambda: strongly_connected_components(
+            de, vertices=verts, label_by_size=False
+        ).count()
+    )
+
+    e = event_edges(spark, SF_DIR).select("s", "t").persist()
+    e.count()
+    seeds = ev.where(F.col("event_id") % 97 == 0).select(F.col("event_id").alias("id"))
+    times["bfs_events"] = _repeat(lambda: bfs(e, seeds).count())
+    times["four_cycles_events"] = _repeat(lambda: four_cycle_count(e).collect())
+    times["line_dedup"] = _repeat(
+        lambda: q_line_dedup_documents(spark, SF_DIR).count()
+    )
+    return {"times": times, "extra": {}}
+
+
 def group_docs() -> dict:
     from pyspark.sql import functions as F
 
@@ -267,6 +315,7 @@ def group_ft100k() -> dict:
 GROUP_FNS = {
     "transcript": group_transcript,
     "events": group_events,
+    "kernels2": group_kernels2,
     "docs": group_docs,
     "emb": group_emb,
     "ref": group_ref,
@@ -297,10 +346,7 @@ def main_parent():
         extra.update(payload["extra"])
 
     med = {k: statistics.median(v) for k, v in times.items()}
-    # the join-mode pagerank entry tracks the scale path but is an alternate
-    # mode of a query already counted — keep the headline total comparable
-    # with earlier rounds by excluding it
-    total = sum(v for k, v in med.items() if k != "pagerank_join_transcripts")
+    total = sum(v for k, v in med.items() if k not in EXCLUDE_FROM_TOTAL)
     corr_sec = med["ref_pairwise_corr_5000"]
     pr_sec = med["pagerank_transcripts"]
     edges_processed = extra["m_edges"] * max(extra.get("iterations", 1), 1)

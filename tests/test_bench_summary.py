@@ -17,6 +17,10 @@ def _fake_full_out():
             "pagerank_transcripts",
             "pagerank_join_transcripts",
             "edges_ft_events",
+            "scc_events",
+            "bfs_events",
+            "four_cycles_events",
+            "line_dedup",
             "cc_events",
             "triangles_events",
             "minhash_dedup",
@@ -48,7 +52,7 @@ def test_summary_line_is_compact_and_parseable():
     assert parsed["value"] == 12345.678
     assert parsed["unit"] == "sec"
     assert "query_stats" not in parsed
-    assert len(parsed["queries"]) == 16
+    assert len(parsed["queries"]) == 20
 
 
 def test_summary_has_driver_contract_fields():

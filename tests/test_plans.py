@@ -94,3 +94,47 @@ def test_filter_pushdown_reaches_scan(spark):
     p = plan_of(q)
     pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
     assert pushed and any("user_id" in ln for ln in pushed), p
+
+
+def test_line_dedup_no_single_partition_and_narrow_winner_shuffle(spark, docs):
+    """The global winner decision must stay hash-distributed, and the text
+    column must not ride the winner aggregation's exchange."""
+    from deepgraph_spark.pipeline import line_exact_dedup
+
+    p = plan_of(line_exact_dedup(docs))
+    assert "SinglePartition" not in p, p
+    # no window function anywhere: winner = min-struct aggregate, order via
+    # sort_array, not a global sort
+    assert "Window" not in p, p
+
+
+def test_scc_label_superstep_no_single_partition(spark, docs):
+    """One SCC label superstep (plain form) compiles to keyed hash
+    aggregations and joins only."""
+    from deepgraph_spark.algorithms.scc import _min_labels_fg
+
+    e = docs.select(
+        F.col("doc_id").alias("a"), (F.col("doc_id") + 1).alias("b")
+    ).localCheckpoint(eager=True)
+    v = docs.select(F.col("doc_id").alias("id"))
+    lab = v.select("id", F.col("id").alias("flab"), F.col("id").alias("glab"))
+    fnbr = (
+        e.join(lab.select(F.col("id").alias("a"), F.col("flab").alias("nf")), "a")
+        .groupBy(F.col("b").alias("id"))
+        .agg(F.min("nf").alias("nf"))
+    )
+    new = lab.join(fnbr, "id", "left").select(
+        "id", F.least("flab", F.coalesce("nf", "flab")).alias("flab")
+    )
+    p = plan_of(new)
+    assert "SinglePartition" not in p, p
+
+
+def test_four_cycles_no_single_partition(spark, docs):
+    from deepgraph_spark.algorithms import four_cycle_count
+
+    e = docs.select(F.col("doc_id").alias("s"), (F.col("doc_id") % 97).alias("t"))
+    p = plan_of(four_cycle_count(e))
+    # the final count is one row; everything upstream of the last aggregate
+    # must stay hash-partitioned (a single final-agg exchange is inherent)
+    assert p.count("SinglePartition") <= 1, p
