@@ -1,8 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry(spark)`` runs the flagship query on sf0.001; ``queries()`` /
-``oracle_sql()`` expose every implemented operator from SURVEY.md §2 — all
-44 queries carry a full DuckDB value oracle, including the iterative kernels
+``oracle_sql()`` expose every implemented operator from SURVEY.md §2 — every
+query carries a full DuckDB value oracle (the exact count is
+``len(queries())``; ``tests/test_entry.py`` asserts docs never drift from
+it), including the iterative kernels
 (unrolled power iteration / LPA / k-core peel, recursive-CTE closures for
 weak CC, strong CC, and depth-capped BFS), the Structured Streaming
 surface (bounded availableNow replays of the real streaming band join and

@@ -9,10 +9,12 @@ through itself as a diagonal, and each cycle has exactly two diagonals, so
 
 The plan is two keyed joins + two aggregations, all JVM: wedge enumeration
 (join the adjacency with itself on the middle vertex), then a count per
-endpoint pair. Shuffle volume is the wedge count (sum of deg^2 over middle
-vertices) — the same hub sensitivity as any wedge-based scheme; on skewed
-graphs cap or sample hub middles upstream (the events/link graphs the gate
-runs are band-bounded, so the wedge count stays linear-ish).
+endpoint pair. Shuffle volume is the wedge count (sum of C(deg, 2) over
+middle vertices) — the same hub sensitivity as any wedge-based scheme, so
+``max_wedges`` guards the quadratic with one cheap degree-aggregation pass
+(mirroring ``ngram_jaccard_pairs``'s ``max_block_rows`` contract): a single
+10^6-degree hub alone contributes ~5*10^11 wedge rows, which must fail loud
+with guidance, never silently melt a 100 TB job.
 """
 
 from __future__ import annotations
@@ -21,31 +23,94 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def common_neighbor_pairs(
-    edges: DataFrame, *, src: str = "s", dst: str = "t"
-) -> DataFrame:
-    """(a, b, p): ordered pairs a < b with their common-neighbor count p >= 1
-    in the undirected simple graph. The building block for C4 counting and a
-    useful similarity table in its own right (co-citation strength)."""
+def _undirected_simple(edges: DataFrame, src: str, dst: str) -> DataFrame:
     a = edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
-    und = (
+    return (
         a.unionByName(a.select(F.col("t").alias("s"), F.col("s").alias("t")))
         .where(F.col("s") != F.col("t"))
         .distinct()
     )
+
+
+def wedge_count(edges: DataFrame, *, src: str = "s", dst: str = "t") -> int:
+    """Exact wedge count sum_m C(deg(m), 2) of the undirected simple graph —
+    the row count (and shuffle volume) of the wedge-enumeration join, from
+    one degree aggregation (cost O(|E|), no join)."""
+    und = _undirected_simple(edges, src, dst)
+    row = (
+        und.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    (
+                        F.col("deg").cast("decimal(38,0)")
+                        * (F.col("deg") - F.lit(1))
+                        / 2
+                    ).cast("decimal(38,0)")
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("w")
+        )
+        .collect()[0]
+    )
+    return int(row["w"])
+
+
+def common_neighbor_pairs(
+    edges: DataFrame,
+    *,
+    src: str = "s",
+    dst: str = "t",
+    max_wedges: int | None = 1_000_000_000,
+) -> DataFrame:
+    """(a, b, p): ordered pairs a < b with their common-neighbor count p >= 1
+    in the undirected simple graph. The building block for C4 counting and a
+    useful similarity table in its own right (co-citation strength).
+
+    The wedge join materializes sum_m C(deg(m), 2) rows — quadratic in hub
+    degree. ``max_wedges`` (default 1e9) pre-counts that exactly with one
+    cheap degree aggregation and fails loudly when exceeded instead of
+    silently enumerating trillions of rows on a skewed graph; cap hub
+    middles upstream (drop or sample vertices above a degree cutoff — an
+    explicit, documented approximation) or pass ``max_wedges=None`` to run
+    the exact plan regardless."""
+    und = _undirected_simple(edges, src, dst)
+    if max_wedges is not None:
+        w = wedge_count(edges, src=src, dst=dst)
+        if w > max_wedges:
+            raise ValueError(
+                f"common_neighbor_pairs: graph has {w} wedges > "
+                f"max_wedges={max_wedges}; the wedge-enumeration join is "
+                "quadratic in hub degree — cap or sample high-degree middle "
+                "vertices upstream (documented approximation), or pass "
+                "max_wedges=None to force the exact plan"
+            )
     n1 = und.select(F.col("s").alias("m"), F.col("t").alias("a"))
     n2 = und.select(F.col("s").alias("m"), F.col("t").alias("b"))
     wedges = n1.join(n2, "m").where(F.col("a") < F.col("b"))
     return wedges.groupBy("a", "b").agg(F.count(F.lit(1)).alias("p"))
 
 
-def four_cycle_count(edges: DataFrame, *, src: str = "s", dst: str = "t") -> DataFrame:
+def four_cycle_count(
+    edges: DataFrame,
+    *,
+    src: str = "s",
+    dst: str = "t",
+    max_wedges: int | None = 1_000_000_000,
+) -> DataFrame:
     """One-row DataFrame ``(n_four_cycles,)`` — the number of (unordered,
-    vertex-distinct) 4-cycles in the undirected simple graph."""
-    pairs = common_neighbor_pairs(edges, src=src, dst=dst)
+    vertex-distinct) 4-cycles in the undirected simple graph. Sums in
+    decimal(38,0): per-pair terms p*(p-1) reach ~1e12 on hub-heavy graphs
+    and a long sum would wrap silently in non-ANSI mode (the DuckDB oracle
+    sums in HUGEINT — keep both exact)."""
+    pairs = common_neighbor_pairs(edges, src=src, dst=dst, max_wedges=max_wedges)
     # sum p*(p-1) is divisible by 4 (2 ordered diagonal choices x 2 diagonals)
+    term = (F.col("p").cast("decimal(38,0)") * (F.col("p") - F.lit(1))).cast(
+        "decimal(38,0)"
+    )
     return pairs.agg(
-        (F.coalesce(F.sum(F.col("p") * (F.col("p") - F.lit(1))), F.lit(0)) / 4)
+        (F.coalesce(F.sum(term), F.lit(0).cast("decimal(38,0)")) / 4)
         .cast("long")
         .alias("n_four_cycles")
     )

@@ -285,6 +285,7 @@ def strongly_connected_components(
 def _outer_loop(ckpt, v, e, assigned, start_iter, max_outer, max_label_iter,
                 barrier_root, done):
     """(f,g)-class refinement rounds; returns (assigned, e, v, done)."""
+    prev_round_state = None  # last round's materialized state, freed once superseded
     for k in range(start_iter, max_outer):
         barrier_dir = None
         if barrier_root is not None:
@@ -334,6 +335,14 @@ def _outer_loop(ckpt, v, e, assigned, start_iter, max_outer, max_label_iter,
             prev_spath = os.path.join(barrier_root, f"state_{k - 1}")
             shutil.rmtree(prev_spath, ignore_errors=True)
         n_rest = state.where(F.col("kind") == "V").count()
+        # state is materialized: release the round's label result and the
+        # previous round's state blocks (localCheckpoint storage is not
+        # safely evictable — lineage was truncated — so free it explicitly,
+        # mirroring the k-core/CC unpersist discipline)
+        lbl.unpersist()
+        if prev_round_state is not None:
+            prev_round_state.unpersist()
+        prev_round_state = state
         assigned = state.where(F.col("kind") == "L").select(
             F.col("x").alias("id"), F.col("y").alias("cp_raw")
         )

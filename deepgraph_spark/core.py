@@ -316,13 +316,17 @@ class DeepGraphFrame:
         self,
         directed: bool = False,
         connection: str = "weak",
-        consolidate_singles: bool = False,
         col_name: str = "cp",
+        label_by_size: bool = True,
+        consolidate_singles: bool = False,
         **kw,
     ) -> "DeepGraphFrame":
         """Attach connected-component labels to ``v`` — the reference's
         ``append_cp`` (size-ordered labels; ``consolidate_singles`` puts all
-        singletons under label 0), computed distributed.
+        singletons under label 0), computed distributed. Parameter order
+        matches the reference exactly (deepgraph.py:2244-2245: directed,
+        connection, col_name, label_by_size, consolidate_singles), so
+        positional reference call sites bind identically.
 
         ``directed=True, connection='strong'`` labels strongly connected
         components (mutual reachability — ref deepgraph.py:2244-2258, where
@@ -345,6 +349,7 @@ class DeepGraphFrame:
             self.e,
             vertices=self.v.select(self.index_col),
             index_col=self.index_col,
+            label_by_size=label_by_size,
             consolidate_singles=consolidate_singles,
             **kw,
         )

@@ -393,16 +393,19 @@ def _hyperplane_buckets(
     Gaussian draw — e.g. Rademacher ±1 planes whose literals a SQL oracle
     can mirror exactly (sign-of-dot LSH is valid for any symmetric plane
     distribution)."""
+    first = emb.select(vec_col).first()
+    dim = len(first[0])
     if planes is None:
-        first = emb.select(vec_col).first()
-        dim = len(first[0])
         rng = np.random.default_rng(seed)
         planes = rng.standard_normal((n_tables, n_planes, dim))
     else:
         planes = np.asarray(planes, dtype=np.float64)
-        if planes.shape[:2] != (n_tables, n_planes):
+        if planes.shape != (n_tables, n_planes, dim):
+            # catch dim mismatches on the driver with a clear message, not
+            # as an opaque numpy broadcast error inside mapInPandas
             raise ValueError(
-                f"planes shape {planes.shape} != (n_tables={n_tables}, n_planes={n_planes}, dim)"
+                f"planes shape {planes.shape} != (n_tables={n_tables}, "
+                f"n_planes={n_planes}, dim={dim}) — dim probed from {vec_col!r}"
             )
     bp = emb.sparkSession.sparkContext.broadcast(planes)
 

@@ -4,6 +4,7 @@ import numpy as np
 import pytest
 
 from deepgraph_spark.algorithms import common_neighbor_pairs, four_cycle_count
+from deepgraph_spark.algorithms.motifs import wedge_count
 from oracles import four_cycle_oracle, random_digraph, star_graph
 
 
@@ -33,6 +34,25 @@ def test_four_cycles_star_has_none(spark):
 def test_four_cycles_random(spark, seed, n, m):
     e = random_digraph(n, m, seed=seed)
     assert _count(spark, e) == four_cycle_oracle(e, n)
+
+
+def test_wedge_count_star(spark):
+    # star_graph(30) = hub + 29 leaves: hub degree 29 -> C(29,2)=406 hub
+    # wedges; each leaf (degree 1) contributes 0
+    e = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in star_graph(30)], "s long, t long"
+    )
+    assert wedge_count(e) == 406
+
+
+def test_max_wedges_guard_trips_on_star(spark):
+    e = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in star_graph(30)], "s long, t long"
+    )
+    with pytest.raises(ValueError, match="max_wedges"):
+        four_cycle_count(e, max_wedges=100).collect()
+    # None disables the guard; star has no 4-cycles
+    assert four_cycle_count(e, max_wedges=None).collect()[0]["n_four_cycles"] == 0
 
 
 def test_common_neighbor_pairs_values(spark):
