@@ -51,11 +51,14 @@ import tempfile
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+import time
+
 from deepgraph_spark.algorithms.checkpoint import SuperstepCheckpoint
 from deepgraph_spark.algorithms.components import finalize_component_labels
 
 
 _BARRIER_EVERY = 5
+_DEBUG = os.environ.get("DG_SCC_DEBUG", "") != ""
 
 
 def _min_labels_fg(
@@ -103,7 +106,9 @@ def _min_labels_fg(
     prev_sig = None
     prev_state = None
     prev_barrier: str | None = None
+    t_loop = time.time()
     for it in range(max_iter):
+        t_it = time.time()
         fnbr = (
             e.join(lab.select(F.col("id").alias("a"), F.col("flab").alias("nf")), "a")
             .groupBy(F.col("b").alias("id"))
@@ -150,6 +155,11 @@ def _min_labels_fg(
             F.sum(F.xxhash64("id", "flab", "glab").cast("decimal(38,0)")).alias("hsh"),
         ).collect()[0]
         sig = (row["cnt"], row["hsh"])
+        if _DEBUG:
+            print(
+                f"[scc] superstep {it}: {time.time() - t_it:.2f}s "
+                f"(loop {time.time() - t_loop:.2f}s) sig={sig}"
+            )
         if prev_state is not None:
             prev_state.unpersist()
         prev_state = new
@@ -173,6 +183,8 @@ def strongly_connected_components(
     index_col: str = "id",
     max_outer: int = 50,
     max_label_iter: int = 100,
+    trim_iter: int = 4,
+    serial_tail_threshold: int = 50_000,
     accelerate: bool | None = None,
     checkpoint_dir: str | None = None,
     job_id: str = "scc",
@@ -184,6 +196,23 @@ def strongly_connected_components(
     reaches the other along directed edges. ``cp`` is size-ordered dense by
     default (reference append_cp semantics); ``label_by_size=False`` gives
     raw canonical min-vertex labels. Vertex ids must be long-comparable.
+
+    ``trim_iter`` bounds the per-round trim pre-pass (Slota et al.'s
+    "Multistep" trim): vertices with in-degree 0 or out-degree 0 of the
+    *active* subgraph are singleton SCCs and are peeled iteratively —
+    isolated vertices, stars, and DAG fringes never reach the label loop
+    (a pure DAG whose trim converges costs zero label supersteps). Each
+    trim iteration is one degree aggregation, far cheaper than a label
+    fixed point; 0 disables trimming.
+
+    ``serial_tail_threshold``: when the post-trim active remainder has at
+    most this many vertices (and ≤ 20 edges per vertex), it is collected
+    and finished with driver-side iterative Tarjan — Multistep's published
+    final step is exactly this serial cutover for the small tail, where
+    per-superstep scheduling overhead would dominate distributed work. At
+    the default 50k vertices / 1M edges the collected tail is ~16 MB of
+    longs — bounded driver memory at any input scale, because the
+    threshold gates entry. 0 keeps everything distributed.
 
     ``accelerate`` turns on pointer-jump label propagation (O(log diameter)
     supersteps instead of O(diameter) — see :func:`_min_labels_fg`), which
@@ -219,13 +248,22 @@ def strongly_connected_components(
         edges.select(F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b"))
         .where(F.col("a") != F.col("b"))  # self-loops never change SCC membership
         .distinct()
+        .persist()  # every superstep joins e twice — never recompute upstream
     )
-    if vertices is not None:
-        v = vertices.select(
-            F.col(vertices.columns[0]).cast("long").alias("id")
-        ).distinct()
-    else:
-        v = e.select(F.col("a").alias("id")).union(e.select("b")).distinct()
+    m = e.count()
+    # the label loop only ever needs edge ENDPOINTS: a vertex with no edges
+    # is trivially its own SCC and is folded in by the final coalesce against
+    # ``vertices`` — carrying it through every superstep join is pure waste
+    # (measured: 100k-vertex/42k-edge gate graph has ~27k endpoints)
+    v = e.select(F.col("a").alias("id")).union(e.select("b")).distinct()
+
+    # right-size the loop's shuffles: a 42k-edge active graph on 32
+    # partitions pays 32-task dispatch per stage for ~1k-row tasks. Clamp to
+    # ~100k edges/partition, never above the session setting (a 100 TB graph
+    # keeps the configured width), floor 4 — same policy as the blocks-mode
+    # PageRank layout (pagerank.py:427). Restored in the finally below.
+    conf_parts = spark.conf.get("spark.sql.shuffle.partitions", "32")
+    loop_parts = max(4, min(int(conf_parts), m // 100_000 + 1))
 
     assigned = None  # (id, cp_raw), grown per outer round
     start_iter = 0
@@ -246,9 +284,10 @@ def strongly_connected_components(
 
     done = assigned is not None and max_outer == 0
     try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
         assigned, e, v, done = _outer_loop(
             ckpt, v, e, assigned, start_iter, max_outer, max_label_iter,
-            barrier_root, done,
+            barrier_root, done, trim_iter, serial_tail_threshold,
         )
 
         if not done and _nonempty(v):
@@ -278,38 +317,218 @@ def strongly_connected_components(
             result = result.localCheckpoint(eager=True)
         return result
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", conf_parts)
+        e.unpersist()
         if temp_root and barrier_root is not None:
             shutil.rmtree(barrier_root, ignore_errors=True)
 
 
+def _trim(v, e, *, max_iter, stop_below=0):
+    """Multistep trim (Slota et al.): iteratively peel vertices whose
+    in-degree or out-degree within the ACTIVE subgraph is 0 — each such
+    vertex can't lie on any directed cycle, so it is a singleton SCC;
+    isolated vertices, stars, and DAG fringes never reach the label loop.
+
+    Per iteration, ONE action: both degrees come from a single union +
+    aggregation pass and the surviving vertex set (small: ids only) is
+    eagerly localCheckpointed; the peeled set and the restricted edge set
+    stay LAZY — they reference only the persisted input edges and the
+    materialized keep sets, so the per-iteration cost is one degree
+    aggregation, not four re-evaluations of a shared subplan. Chains peel
+    only O(length) per pass, which is the label loop's job — hence the cap.
+
+    Returns ``(v, e, peeled, n_active, keeps)``: the surviving subgraph
+    (``e`` lazy, depth ≤ max_iter semi-join chain), peeled singletons as
+    (id, cp_raw=id) (lazy), surviving vertex count (0 = whole active graph
+    was trivial), and the list of checkpointed keep sets — the caller must
+    not unpersist those until ``peeled``/``e`` have been materialized."""
+    peeled = None
+    n_active = None
+    keeps = []
+    for it in range(max_iter):
+        deg = (
+            e.select(F.col("a").alias("id"), F.lit(1).alias("o"), F.lit(0).alias("i"))
+            .union(e.select(F.col("b").alias("id"), F.lit(0).alias("o"), F.lit(1).alias("i")))
+            .groupBy("id")
+            .agg(F.sum("o").alias("od"), F.sum("i").alias("idg"))
+        )
+        keep = (
+            deg.where((F.col("od") > 0) & (F.col("idg") > 0))
+            .select("id")
+            .localCheckpoint(eager=True)
+        )
+        keeps.append(keep)
+        n_keep = keep.count()
+        newly = v.join(keep, "id", "left_anti").select(
+            "id", F.col("id").alias("cp_raw")
+        )
+        peeled = newly if peeled is None else peeled.union(newly)
+        v = keep
+        e = (
+            e.join(keep.select(F.col("id").alias("a")), "a", "left_semi")
+            .join(keep.select(F.col("id").alias("b")), "b", "left_semi")
+        )
+        prev_n, n_active = n_active, n_keep
+        if _DEBUG:
+            print(f"[scc] trim {it}: active={n_active}")
+        if n_active <= stop_below or n_active == prev_n:
+            # converged, emptied, or already small enough for the caller's
+            # serial tail finisher — further peeling buys nothing
+            break
+    return v, e, peeled, n_active, keeps
+
+
+def _tarjan_min_labels(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Iterative Tarjan over a small edge list: vertex -> min member id of
+    its SCC (the same canonical label the distributed extraction produces).
+    Used only below ``serial_tail_threshold`` — Multistep's published final
+    step is exactly this serial cutover for the small remainder graph."""
+    adj: dict[int, list[int]] = {}
+    nodes: set[int] = set()
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        nodes.add(a)
+        nodes.add(b)
+    index: dict[int, int] = {}
+    low: dict[int, int] = {}
+    on_stack: set[int] = set()
+    stack: list[int] = []
+    out: dict[int, int] = {}
+    counter = 0
+    for root in nodes:
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            node, pi = work[-1]
+            if pi == 0:
+                index[node] = low[node] = counter
+                counter += 1
+                stack.append(node)
+                on_stack.add(node)
+            recurse = False
+            nbrs = adj.get(node, ())
+            for j in range(pi, len(nbrs)):
+                w = nbrs[j]
+                if w not in index:
+                    work[-1] = (node, j + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if w in on_stack:
+                    low[node] = min(low[node], index[w])
+            if recurse:
+                continue
+            work.pop()
+            if low[node] == index[node]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    comp.append(w)
+                    if w == node:
+                        break
+                label = min(comp)
+                for w in comp:
+                    out[w] = label
+            if work:
+                parent = work[-1][0]
+                low[parent] = min(low[parent], low[node])
+    return out
+
+
 def _outer_loop(ckpt, v, e, assigned, start_iter, max_outer, max_label_iter,
-                barrier_root, done):
+                barrier_root, done, trim_iter=4, serial_tail_threshold=50_000):
     """(f,g)-class refinement rounds; returns (assigned, e, v, done)."""
     prev_round_state = None  # last round's materialized state, freed once superseded
+    spark = e.sparkSession
     for k in range(start_iter, max_outer):
+        t_round = time.time()
         barrier_dir = None
         if barrier_root is not None:
             barrier_dir = os.path.join(barrier_root, f"round_{k}")
-        lbl = _min_labels_fg(v, e, max_iter=max_label_iter, barrier_dir=barrier_dir)
-        extracted = lbl.where(F.col("flab") == F.col("glab")).select(
-            "id", F.col("flab").alias("cp_raw")
-        )
-        assigned = extracted if assigned is None else assigned.union(extracted)
-        rest = lbl.where(F.col("flab") != F.col("glab"))
 
-        # drop class-crossing edges: SCCs live wholly inside (f, g) classes
-        ra = rest.select(
-            F.col("id").alias("a"), F.col("flab").alias("fa"), F.col("glab").alias("ga")
-        )
-        rb = rest.select(
-            F.col("id").alias("b"), F.col("flab").alias("fb"), F.col("glab").alias("gb")
-        )
-        e = (
-            e.join(ra, "a").join(rb, "b")
-            .where((F.col("fa") == F.col("fb")) & (F.col("ga") == F.col("gb")))
-            .select("a", "b")
-        )
-        v = rest.select("id")
+        lbl = None
+        keeps = []
+        if trim_iter > 0:
+            v, e, peeled, n_active, keeps = _trim(
+                v, e, max_iter=trim_iter, stop_below=serial_tail_threshold
+            )
+            if peeled is not None:
+                assigned = peeled if assigned is None else assigned.union(peeled)
+            if _DEBUG:
+                print(f"[scc] round {k} trim phase: {time.time() - t_round:.2f}s")
+        else:
+            n_active = None
+
+        if n_active is not None and 0 < n_active <= serial_tail_threshold:
+            # Multistep's serial cutover: the active remainder is small —
+            # collect its edge list (bounded: <= 20 edges/vertex or we stay
+            # distributed) and finish with driver-side Tarjan instead of
+            # paying whole label-loop rounds of per-superstep overhead
+            cap = serial_tail_threshold * 20
+            ep = e.limit(cap + 1).toPandas()
+            if len(ep) <= cap:
+                labels = _tarjan_min_labels(
+                    list(zip(ep["a"].astype(int), ep["b"].astype(int)))
+                )
+                tail = spark.createDataFrame(
+                    list(labels.items()), "id long, cp_raw long"
+                )
+                # active vertices whose every edge went to peeled singletons
+                # have no edge in the restricted graph: they're on no cycle,
+                # so they're singleton SCCs — Tarjan never saw them
+                alone = v.join(tail.select("id"), "id", "left_anti").select(
+                    "id", F.col("id").alias("cp_raw")
+                )
+                tail = tail.union(alone)
+                assigned = tail if assigned is None else assigned.union(tail)
+                n_active = 0
+                if _DEBUG:
+                    print(
+                        f"[scc] round {k} serial tail: {len(labels)} verts, "
+                        f"{len(ep)} edges ({time.time() - t_round:.2f}s in round)"
+                    )
+
+        if n_active == 0:
+            # trim/serial tail emptied the round: no label loop, fall
+            # through to the state save so resume still sees a full round
+            rest = None
+        else:
+            lbl = _min_labels_fg(
+                v, e, max_iter=max_label_iter, barrier_dir=barrier_dir
+            )
+            extracted = lbl.where(F.col("flab") == F.col("glab")).select(
+                "id", F.col("flab").alias("cp_raw")
+            )
+            assigned = extracted if assigned is None else assigned.union(extracted)
+            rest = lbl.where(F.col("flab") != F.col("glab"))
+
+            # drop class-crossing edges: SCCs live wholly inside (f, g) classes
+            ra = rest.select(
+                F.col("id").alias("a"), F.col("flab").alias("fa"), F.col("glab").alias("ga")
+            )
+            rb = rest.select(
+                F.col("id").alias("b"), F.col("flab").alias("fb"), F.col("glab").alias("gb")
+            )
+            e = (
+                e.join(ra, "a").join(rb, "b")
+                .where((F.col("fa") == F.col("fb")) & (F.col("ga") == F.col("gb")))
+                .select("a", "b")
+            )
+            v = rest.select("id")
+        if rest is None:
+            v = v.limit(0)
+            e = e.limit(0)
+            if not ckpt.enabled:
+                # terminal round with no durable checkpoint to write and no
+                # further label loops to protect with an analysis reset —
+                # _trim already materialized everything it produced
+                ckpt.update_metrics(k, {"active": 0, "converged": True})
+                if barrier_dir is not None:
+                    shutil.rmtree(barrier_dir, ignore_errors=True)
+                done = True
+                break
 
         # one durable state per outer round; a single count() action
         # materializes assigned+edges+verts together
@@ -339,7 +558,10 @@ def _outer_loop(ckpt, v, e, assigned, start_iter, max_outer, max_label_iter,
         # previous round's state blocks (localCheckpoint storage is not
         # safely evictable — lineage was truncated — so free it explicitly,
         # mirroring the k-core/CC unpersist discipline)
-        lbl.unpersist()
+        if lbl is not None:
+            lbl.unpersist()
+        for kp in keeps:  # trim keep sets are baked into state now
+            kp.unpersist()
         if prev_round_state is not None:
             prev_round_state.unpersist()
         prev_round_state = state
@@ -351,6 +573,8 @@ def _outer_loop(ckpt, v, e, assigned, start_iter, max_outer, max_label_iter,
         )
         v = state.where(F.col("kind") == "V").select(F.col("x").alias("id"))
         ckpt.update_metrics(k, {"active": int(n_rest), "converged": n_rest == 0})
+        if _DEBUG:
+            print(f"[scc] round {k} total: {time.time() - t_round:.2f}s (rest={n_rest})")
         if barrier_dir is not None:
             # state is materialized; this round's label barriers can go
             shutil.rmtree(barrier_dir, ignore_errors=True)

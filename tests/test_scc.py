@@ -174,3 +174,51 @@ def test_scc_checkpoint_resume(spark, tmp_path):
         .toPandas().sort_values("v")["cp"].tolist()
     )
     assert first == second == [0, 0, 2, 2]
+
+
+def _partition(df_pd, idc="v"):
+    return sorted(
+        df_pd.groupby("cp")[idc].apply(lambda s: tuple(sorted(s))).tolist()
+    )
+
+
+@pytest.mark.parametrize(
+    "trim_iter,tail",
+    [(4, 50_000), (4, 0), (0, 0)],
+    ids=["trim+serial", "trim+labels", "labels-only"],
+)
+def test_scc_trim_chain_and_star(spark, trim_iter, tail):
+    """The Multistep trim fixture from the round-4 verdict: a chain (every
+    vertex in/out-degree <= 1, all singletons — peels from both ends), a
+    star (hub + leaves, all singletons — leaves peel, then the hub), and a
+    cycle with a tail (trim must NOT eat the cycle). All three engine
+    configurations must agree with the oracle labels."""
+    chain = [(i, i + 1) for i in range(10)]
+    star = [(100, 100 + i) for i in range(1, 15)]
+    cyc = [(200, 201), (201, 202), (202, 200), (202, 203), (203, 204)]
+    edges = chain + star + cyc
+    e = spark.createDataFrame(edges, "s long, t long")
+    ids = sorted({x for p in edges for x in p})
+    v = spark.createDataFrame([(i,) for i in ids], "v long")
+    out = strongly_connected_components(
+        e, vertices=v, index_col="v", label_by_size=False,
+        trim_iter=trim_iter, serial_tail_threshold=tail,
+    ).toPandas()
+    got = out.set_index("v")["cp"].sort_index()
+    # every vertex is a singleton except the 3-cycle {200,201,202} -> 200
+    for i in ids:
+        assert got[i] == (200 if i in (200, 201, 202) else i)
+
+
+def test_scc_serial_tail_covers_edge_stripped_vertices(spark):
+    """A vertex that survives trim (in+out degree > 0) but loses every edge
+    to peeled singletons must still be labeled — including when vertices
+    are derived from the edge list (vertices=None)."""
+    # 11 survives trim round 0 (10->11->12) but 10 and 12 peel, stripping it
+    edges = [(1, 2), (2, 1), (10, 11), (11, 12)]
+    e = spark.createDataFrame(edges, "s long, t long")
+    out = strongly_connected_components(e, label_by_size=False).toPandas()
+    got = out.set_index(out.columns[0])["cp"].sort_index()
+    assert set(got.index) == {1, 2, 10, 11, 12}
+    assert got[1] == got[2] == 1
+    assert got[10] == 10 and got[11] == 11 and got[12] == 12
