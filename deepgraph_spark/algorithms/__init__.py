@@ -14,6 +14,7 @@ from deepgraph_spark.algorithms.lpa import label_propagation
 from deepgraph_spark.algorithms.motifs import common_neighbor_pairs, four_cycle_count
 from deepgraph_spark.algorithms.pagerank import pagerank
 from deepgraph_spark.algorithms.scc import strongly_connected_components
+from deepgraph_spark.algorithms.sssp import sssp
 from deepgraph_spark.algorithms.triangles import triangle_count, triangles_per_vertex
 
 __all__ = [
@@ -25,6 +26,7 @@ __all__ = [
     "k_core",
     "label_propagation",
     "pagerank",
+    "sssp",
     "strongly_connected_components",
     "triangle_count",
     "triangles_per_vertex",

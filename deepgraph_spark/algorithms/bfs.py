@@ -29,6 +29,7 @@ def bfs(
     dst: str = "t",
     direction: str = "forward",
     max_iter: int = 100,
+    max_depth: int | None = None,
 ) -> DataFrame:
     """Hop distance from the closest source vertex.
 
@@ -36,6 +37,8 @@ def bfs(
     'forward' (follow s→t), 'backward' (t→s), or 'undirected'. Returns
     ``(id, dist)`` for every vertex reachable from any seed (seeds: dist 0).
     Raises if the frontier is still non-empty after ``max_iter`` rounds.
+    ``max_depth`` instead TRUNCATES deliberately: expansion stops after that
+    many hops with no error (k-hop neighborhoods, ego nets).
     """
     if direction not in ("forward", "backward", "undirected"):
         raise ValueError("direction must be forward | backward | undirected")
@@ -54,7 +57,8 @@ def bfs(
     )
     frontier = visited.select("id")
     n_prev = visited.count()
-    for k in range(1, max_iter + 1):
+    limit = max_iter if max_depth is None else min(max_iter, max_depth)
+    for k in range(1, limit + 1):
         nxt = (
             e.join(frontier.withColumnRenamed("id", "a"), "a")
             .select(F.col("b").alias("id"))
@@ -72,5 +76,6 @@ def bfs(
         n_prev = n_total
         frontier = new_visited.where(F.col("dist") == k).select("id")
     else:
-        raise RuntimeError(f"bfs frontier still active after max_iter={max_iter}")
+        if max_depth is None or limit < max_depth:
+            raise RuntimeError(f"bfs frontier still active after max_iter={max_iter}")
     return visited

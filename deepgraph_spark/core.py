@@ -246,6 +246,37 @@ class DeepGraphFrame:
         )
         return self
 
+    def ego_net(
+        self,
+        seeds,
+        radius: int = 1,
+        direction: str = "undirected",
+        dist_col: str = "dist",
+    ) -> "DeepGraphFrame":
+        """k-hop ego network: keep the vertices within ``radius`` hops of
+        any seed (hop distance appended as ``dist_col``) and the edges they
+        induce — the reference's filter-then-induce pattern
+        (deepgraph.py:2539-2597: filter ``v``, then cascade to ``e``) fused
+        into one operator over a truncated multi-source BFS. ``seeds`` is a
+        single-column DataFrame of vertex ids or an iterable of ids;
+        ``direction`` follows :func:`deepgraph_spark.algorithms.bfs.bfs`.
+        """
+        from pyspark.sql import DataFrame as _DF
+
+        from deepgraph_spark.algorithms import bfs
+
+        if not isinstance(seeds, _DF):
+            seeds = self.v.sparkSession.createDataFrame(
+                [(s,) for s in seeds], f"{self.index_col} long"
+            )
+        d = bfs(self.e, seeds, direction=direction, max_depth=radius)
+        self.v = self.v.join(
+            d.select(F.col("id").alias(self.index_col), F.col("dist").alias(dist_col)),
+            self.index_col,
+        )
+        self.update_edges()
+        return self
+
     # -- binning / datetime categories (deepgraph.py:2321-2537) ------------
     def append_binning_labels_v(
         self,

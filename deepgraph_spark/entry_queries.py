@@ -227,6 +227,59 @@ def q_bfs_events(spark, sf_dir):
     )
 
 
+SSSP_ORACLE_CAP = 30  # q_sssp_events runs max_iter=CAP-1, so paths fit the oracle
+
+
+def q_sssp_events(spark, sf_dir):
+    """Weighted single-source shortest paths over the directed band graph:
+    min total inter-event time (µs) from the closest seed (event_id ≡ 0 mod
+    97). Weights are exact integer microseconds (ft_r·1e6 rounded back to
+    the integer it came from), so Spark's double accumulation and DuckDB's
+    BIGINT accumulation agree bit-for-bit; max_iter = oracle cap − 1 keeps
+    the depth-capped recursive walk complete."""
+    from deepgraph_spark.algorithms import sssp
+
+    e = event_edges(spark, sf_dir).select(
+        "s", "t", F.round(F.col("ft_r") * 1e6, 0).alias("w")
+    )
+    seeds = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_id") % 97 == 0)
+        .select(F.col("event_id").alias("id"))
+    )
+    out = sssp(e, seeds, max_iter=SSSP_ORACLE_CAP - 1)
+    return out.select(
+        F.col("id").cast("long").alias("id"), F.col("dist").cast("double").alias("dist")
+    )
+
+
+def q_ego_net_events(spark, sf_dir):
+    """2-hop forward ego network around the BFS seed set: vertices within
+    radius hops keep their hop distance, edges are the induced subset — the
+    reference's filter-then-induce pattern (deepgraph.py:2539-2597) as one
+    operator (DeepGraphFrame.ego_net = truncated multi-source BFS +
+    update_edges cascade). Output: induced edges with endpoint distances."""
+    from deepgraph_spark.core import DeepGraphFrame
+
+    v = _t(spark, sf_dir, "events").select(F.col("event_id").alias("id"))
+    e = event_edges(spark, sf_dir).select("s", "t")
+    seeds = v.where(F.col("id") % 97 == 0)
+    g = DeepGraphFrame(v, e, index_col="id").ego_net(
+        seeds, radius=2, direction="forward"
+    )
+    dv = g.v.select("id", "dist")
+    return (
+        g.e.join(dv.select(F.col("id").alias("s"), F.col("dist").alias("dist_s")), "s")
+        .join(dv.select(F.col("id").alias("t"), F.col("dist").alias("dist_t")), "t")
+        .select(
+            F.col("s").cast("long").alias("s"),
+            F.col("t").cast("long").alias("t"),
+            F.col("dist_s").cast("long").alias("dist_s"),
+            F.col("dist_t").cast("long").alias("dist_t"),
+        )
+    )
+
+
 def q_line_dedup_documents(spark, sf_dir):
     """Global line-level exact dedup (C4/RefinedWeb-style): the synthetic
     documents carry no newlines, so the gate first folds every 8 tokens into
@@ -933,6 +986,37 @@ ORACLES: dict[str, str] = {
         )
         SELECT id, CAST(MIN(dist) AS BIGINT) AS dist FROM walk GROUP BY id
     """,
+    "ego_net_events": f"""
+        WITH RECURSIVE
+        e AS (SELECT s, t FROM ({EVENT_EDGES_SQL})),
+        seeds AS (SELECT event_id AS id FROM events WHERE event_id % 97 = 0),
+        walk(id, dist) AS (
+            SELECT id, 0 FROM seeds
+            UNION
+            SELECT e.t, w.dist + 1 FROM walk w JOIN e ON e.s = w.id
+            WHERE w.dist < 2
+        ),
+        d AS (SELECT id, CAST(MIN(dist) AS BIGINT) AS dist FROM walk GROUP BY id)
+        SELECT e.s, e.t, ds.dist AS dist_s, dt.dist AS dist_t
+        FROM e JOIN d ds ON e.s = ds.id JOIN d dt ON e.t = dt.id
+    """,
+    "sssp_events": f"""
+        WITH RECURSIVE
+        e AS (SELECT a.event_id AS s, b.event_id AS t,
+                     epoch_us(b.ts) - epoch_us(a.ts) AS w
+              FROM events a JOIN events b
+                ON a.user_id = b.user_id
+               AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))
+               AND epoch_us(b.ts) - epoch_us(a.ts) <= {TAU_S}::BIGINT * 1000000),
+        seeds AS (SELECT event_id AS id FROM events WHERE event_id % 97 = 0),
+        walk(id, dist, hops) AS (
+            SELECT id, CAST(0 AS BIGINT), 0 FROM seeds
+            UNION
+            SELECT e.t, w.dist + e.w, w.hops + 1
+            FROM walk w JOIN e ON e.s = w.id WHERE w.hops < {SSSP_ORACLE_CAP}
+        )
+        SELECT id, CAST(MIN(dist) AS DOUBLE) AS dist FROM walk GROUP BY id
+    """,
     "sessionize_events": """
         WITH g AS (
             SELECT user_id, ts, event_id,
@@ -1597,6 +1681,8 @@ QUERIES = {
     "cc_events": q_cc_events,
     "scc_events": q_scc_events,
     "bfs_events": q_bfs_events,
+    "sssp_events": q_sssp_events,
+    "ego_net_events": q_ego_net_events,
     "sessionize_events": q_sessionize_events,
     "top_components_events": q_top_components_events,
     "pagerank_events": q_pagerank_events,

@@ -190,3 +190,30 @@ def four_cycle_oracle(edges, n: int) -> int:
             p = len(nbrs[a] & nbrs[b])
             count += p * (p - 1) // 2
     return count // 2
+
+
+def sssp_oracle(wedges, n: int, sources, directed: bool = True) -> np.ndarray:
+    """Min weighted distance (Bellman-Ford); np.inf = unreached."""
+    adj = [[] for _ in range(n)]
+    for a, b, w in wedges:
+        a, b = int(a), int(b)
+        if a == b:
+            continue
+        adj[a].append((b, float(w)))
+        if not directed:
+            adj[b].append((a, float(w)))
+    dist = np.full(n, np.inf)
+    for s in sources:
+        dist[int(s)] = 0.0
+    for _ in range(n):
+        changed = False
+        for v in range(n):
+            if dist[v] == np.inf:
+                continue
+            for w_, c in adj[v]:
+                if dist[v] + c < dist[w_]:
+                    dist[w_] = dist[v] + c
+                    changed = True
+        if not changed:
+            break
+    return dist

@@ -47,3 +47,28 @@ def test_bfs_max_iter_raises(spark):
     s = spark.createDataFrame([(0,)], "id long")
     with pytest.raises(RuntimeError, match="max_iter"):
         bfs(e, s, max_iter=3)
+
+
+def test_bfs_max_depth_truncates_without_error(spark):
+    e = spark.createDataFrame([(i, i + 1) for i in range(10)], "s long, t long")
+    seeds = spark.createDataFrame([(0,)], "id long")
+    from deepgraph_spark.algorithms import bfs
+
+    out = bfs(e, seeds, max_depth=3).toPandas().set_index("id")["dist"]
+    assert dict(out) == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_ego_net_induced_subgraph(spark):
+    """Chain 0..5 plus an off-net edge: radius-2 forward ego net of {0}
+    keeps {0,1,2} with dists and only the edges among them."""
+    from deepgraph_spark.core import DeepGraphFrame
+
+    edges = [(i, i + 1) for i in range(5)] + [(10, 11)]
+    e = spark.createDataFrame(edges, "s long, t long")
+    ids = sorted({x for p in edges for x in p})
+    v = spark.createDataFrame([(i,) for i in ids], "id long")
+    g = DeepGraphFrame(v, e, index_col="id").ego_net([0], radius=2, direction="forward")
+    vd = g.v.toPandas().set_index("id")["dist"]
+    assert dict(vd) == {0: 0, 1: 1, 2: 2}
+    got_e = sorted(map(tuple, g.e.select("s", "t").toPandas().values.tolist()))
+    assert got_e == [(0, 1), (1, 2)]
