@@ -46,7 +46,9 @@ GROUPS = ["transcript", "events", "kernels2", "docs", "emb", "ref", "ft100k"]
 EXCLUDE_FROM_TOTAL = {
     "pagerank_join_transcripts",
     "scc_events",
+    "scc_events_distributed",
     "bfs_events",
+    "sssp_events",
     "four_cycles_events",
     "line_dedup",
 }
@@ -179,7 +181,12 @@ def group_kernels2() -> dict:
     line-level dedup."""
     from pyspark.sql import functions as F
 
-    from deepgraph_spark.algorithms import bfs, four_cycle_count, strongly_connected_components
+    from deepgraph_spark.algorithms import (
+        bfs,
+        four_cycle_count,
+        sssp,
+        strongly_connected_components,
+    )
     from deepgraph_spark.entry_queries import (
         event_edges,
         q_line_dedup_documents,
@@ -199,10 +206,24 @@ def group_kernels2() -> dict:
         ).count()
     )
 
+    # the distributed label-loop path stays measured even though the engine
+    # default (Multistep trim + serial Tarjan tail) no longer reaches it at
+    # this graph size — it is the 100 TB path
+    times["scc_events_distributed"] = _repeat(
+        lambda: strongly_connected_components(
+            de, vertices=verts, label_by_size=False, serial_tail_threshold=0
+        ).count()
+    )
+
     e = event_edges(spark, SF_DIR).select("s", "t").persist()
     e.count()
     seeds = ev.where(F.col("event_id") % 97 == 0).select(F.col("event_id").alias("id"))
     times["bfs_events"] = _repeat(lambda: bfs(e, seeds).count())
+    ew = event_edges(spark, SF_DIR).select(
+        "s", "t", (F.round(F.col("ft_r") * 1e6, 0)).alias("w")
+    ).persist()
+    ew.count()
+    times["sssp_events"] = _repeat(lambda: sssp(ew, seeds).count())
     times["four_cycles_events"] = _repeat(lambda: four_cycle_count(e).collect())
     times["line_dedup"] = _repeat(
         lambda: q_line_dedup_documents(spark, SF_DIR).count()
