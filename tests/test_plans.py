@@ -138,3 +138,39 @@ def test_four_cycles_no_single_partition(spark, docs):
     # the final count is one row; everything upstream of the last aggregate
     # must stay hash-partitioned (a single final-agg exchange is inherent)
     assert p.count("SinglePartition") <= 1, p
+
+
+def test_sssp_superstep_no_single_partition(spark, docs):
+    """One min-plus relaxation superstep compiles to keyed joins + a keyed
+    min aggregation — never a single-partition exchange."""
+    e = docs.select(
+        F.col("doc_id").alias("a"), (F.col("doc_id") + 1).alias("b"),
+        F.lit(1.0).alias("w"),
+    ).localCheckpoint(eager=True)
+    state = docs.select(
+        F.col("doc_id").alias("id"), F.lit(0.0).alias("dist"), F.lit(True).alias("imp")
+    )
+    frontier = state.where(F.col("imp")).select(
+        F.col("id").alias("a"), F.col("dist").alias("da")
+    )
+    cand = (
+        e.join(frontier, "a")
+        .groupBy(F.col("b").alias("id"))
+        .agg(F.min(F.col("da") + F.col("w")).alias("nd"))
+    )
+    merged = state.select("id", "dist").join(cand, "id", "full_outer")
+    p = plan_of(merged)
+    assert "SinglePartition" not in p, p
+
+
+def test_trim_degree_pass_no_single_partition(spark, docs):
+    """The Multistep trim degree aggregation stays key-partitioned."""
+    e = docs.select(F.col("doc_id").alias("a"), (F.col("doc_id") + 1).alias("b"))
+    deg = (
+        e.select("a", F.lit(1).alias("o"), F.lit(0).alias("i"))
+        .union(e.select("b", F.lit(0).alias("o"), F.lit(1).alias("i")))
+        .groupBy("a")
+        .agg(F.sum("o").alias("od"), F.sum("i").alias("idg"))
+    )
+    p = plan_of(deg.where((F.col("od") > 0) & (F.col("idg") > 0)))
+    assert "SinglePartition" not in p, p
