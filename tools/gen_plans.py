@@ -144,6 +144,39 @@ decides per round), distinct new vertices anti-join the visited set, and the
 round's single count() action materializes the checkpointed union. Shuffle
 volume is O(frontier out-degree), never O(|V|)."""))
 
+# sssp relaxation superstep plan (state/frontier from an RDD leaf, as in-loop)
+_sw = _scc_e.select("a", "b", F.lit(1.0).alias("w")).localCheckpoint(eager=True)
+_sstate = spark.range(50).select(F.col("id"), F.lit(0.0).alias("dist"), F.lit(True).alias("imp")).localCheckpoint(eager=True)
+_sfront = _sstate.where(F.col("imp")).select(F.col("id").alias("a"), F.col("dist").alias("da"))
+_scand = (_sw.join(_sfront, "a").groupBy(F.col("b").alias("id"))
+          .agg(F.min(F.col("da") + F.col("w")).alias("nd")))
+_smerged = _sstate.select("id", "dist").join(_scand, "id", "full_outer").select(
+    "id",
+    F.least(F.coalesce("dist", F.lit(float("inf"))), F.coalesce("nd", F.lit(float("inf")))).alias("dist"),
+    (F.col("dist").isNull() | (F.col("nd").isNotNull() & (F.col("nd") < F.col("dist")))).alias("imp"))
+sections.append(("SSSP relaxation superstep (frontier min-plus + merge)", cap(_smerged),
+"""One Bellman-Ford round: edges join the improved frontier on the source
+key, a keyed min-aggregation picks the best candidate per destination, and
+a full-outer merge against the running distance table computes the new
+dists and the improved flags in one pass. All keyed exchanges — shuffle
+volume O(frontier out-degree + |reached|); the single aggregation action
+that materializes the checkpointed state also counts improvements for
+termination."""))
+
+# SCC Multistep trim degree pass
+_tdeg = (_sw.select(F.col("a").alias("id"), F.lit(1).alias("o"), F.lit(0).alias("i"))
+         .union(_sw.select(F.col("b").alias("id"), F.lit(0).alias("o"), F.lit(1).alias("i")))
+         .groupBy("id").agg(F.sum("o").alias("od"), F.sum("i").alias("idg"))
+         .where((F.col("od") > 0) & (F.col("idg") > 0)).select("id"))
+sections.append(("SCC Multistep trim iteration (single degree pass)", cap(_tdeg),
+"""One trim peel: both degrees of every vertex come from a single
+union+aggregate over the active edge list (one keyed exchange); the
+surviving vertex set (ids only) is eagerly checkpointed and everything
+else — the peeled singletons, the restricted edge list — stays lazy
+against it, so an iteration costs one aggregation, not four re-evaluations
+of a shared subplan. Vertices failing the in&out-degree test are singleton
+SCCs by construction."""))
+
 # line-level exact dedup plan
 from deepgraph_spark.pipeline import line_exact_dedup
 _lined = docs.select("doc_id", F.regexp_replace("text", r"((?:\S+\s+){7}\S+)\s+", "$1\n").alias("text"))
