@@ -6,7 +6,8 @@ query carries a full DuckDB value oracle (the exact count is
 ``len(queries())``; ``tests/test_entry.py`` asserts docs never drift from
 it), including the iterative kernels
 (unrolled power iteration / LPA / k-core peel, recursive-CTE closures for
-weak CC, strong CC, and depth-capped BFS), the Structured Streaming
+weak CC, strong CC, depth-capped BFS, bit-exact integer-µs weighted SSSP,
+and k-hop ego nets), the Structured Streaming
 surface (bounded availableNow replays of the real streaming band join and
 session queries vs the batch SQL oracles), the corpus-curation family (decontamination /
 hash split / shard packing / PII redaction / line-level dedup), and the hash

@@ -740,6 +740,25 @@ def q_stream_exact_dedup_documents(spark, sf_dir):
     return out.select(F.col("h").cast("long").alias("h"))
 
 
+def q_stream_topk_events(spark, sf_dir):
+    """Arbitrary-stateful streaming gate: continuous per-user top-3 event
+    types via applyInPandasWithState (streaming aggregation cannot
+    sort-and-limit within a key — this is the built-ins-can't-express case,
+    unlike sessions/dedup which use native operators). The replay's final
+    per-key emission carries exact global counts and must value-match the
+    batch GROUP BY + ROW_NUMBER oracle, deterministic tie-break included."""
+    from deepgraph_spark.streaming import topk_replay
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type")
+    out = topk_replay(ev, key_col="user_id", item_col="event_type", k=3)
+    return out.select(
+        F.col("key").cast("long").alias("user_id"),
+        F.col("item").alias("event_type"),
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_stream_sessionize_events(spark, sf_dir):
     """Streaming-surface gate: run the REAL Structured Streaming session
     query (native merging session windows, append mode, availableNow
@@ -1543,6 +1562,22 @@ ORACLES["corpus_ngram_topk_documents"] = """
     GROUP BY gram ORDER BY n DESC, gram ASC LIMIT 20
 """
 
+ORACLES["stream_topk_events"] = """
+    WITH c AS (
+        SELECT user_id, event_type, COUNT(*) AS cnt
+        FROM events GROUP BY user_id, event_type
+    ), r AS (
+        SELECT user_id, event_type, cnt,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY cnt DESC, event_type
+               ) AS rank
+        FROM c
+    )
+    SELECT user_id, event_type, CAST(cnt AS BIGINT) AS cnt,
+           CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 3
+"""
+
 ORACLES["stream_exact_dedup_documents"] = """
     SELECT DISTINCT ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
     FROM documents
@@ -1708,6 +1743,7 @@ QUERIES = {
     "corpus_ngram_topk_documents": q_corpus_ngram_topk_documents,
     "stream_band_edges_events": q_stream_band_edges_events,
     "stream_sessionize_events": q_stream_sessionize_events,
+    "stream_topk_events": q_stream_topk_events,
     "stream_exact_dedup_documents": q_stream_exact_dedup_documents,
     "decontaminate_documents": q_decontaminate_documents,
     "hash_split_documents": q_hash_split_documents,

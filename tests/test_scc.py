@@ -222,3 +222,20 @@ def test_scc_serial_tail_covers_edge_stripped_vertices(spark):
     assert set(got.index) == {1, 2, 10, 11, 12}
     assert got[1] == got[2] == 1
     assert got[10] == 10 and got[11] == 11 and got[12] == 12
+
+
+def test_scc_serial_tail_dense_fallback(spark):
+    """When the small remainder is denser than the 20-edges/vertex collect
+    cap, the serial cutover must decline and the distributed label loop
+    must finish the job: complete digraph on 25 vertices (600 edges) with
+    serial_tail_threshold=25 -> cap 500 < 600."""
+    n = 25
+    edges = [(i, j) for i in range(n) for j in range(n) if i != j]
+    e = spark.createDataFrame(edges, "s long, t long")
+    v = spark.range(n).withColumnRenamed("id", "v")
+    out = strongly_connected_components(
+        e, vertices=v, index_col="v", label_by_size=False,
+        serial_tail_threshold=n,
+    ).toPandas()
+    # one giant SCC labeled by its min member
+    assert set(out["cp"]) == {0} and len(out) == n

@@ -192,3 +192,50 @@ def test_sessionize_replay_exact_gap_boundary(spark, tmp_path):
     assert got.user_id.tolist() == exp.user_id.tolist()
     assert got.n_events.tolist() == exp.n_events.tolist()
     assert (got.session_start.values == exp.session_start.values).all()
+
+
+def test_stream_topk_multibatch_state_accumulates(spark, tmp_path):
+    """applyInPandasWithState top-k: force MULTIPLE micro-batches
+    (maxFilesPerTrigger=1) and assert the final emission per key carries
+    exact cross-batch global counts with the deterministic tie-break."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from deepgraph_spark.streaming import stream_topk
+
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    # batch 1: u1 has a:2 b:1 ; batch 2 flips the ranking: b gets 3 more
+    b1 = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, "b"), (2, "x")], "user_id long, event_type string"
+    )
+    b2 = spark.createDataFrame(
+        [(1, "b"), (1, "b"), (1, "b"), (1, "c"), (2, "x")],
+        "user_id long, event_type string",
+    )
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(b1.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        stream_topk(stream, key_col="user_id", item_col="event_type", k=2)
+        .writeStream.format("memory")
+        .queryName("topk_test")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .outputMode("update")
+        .start()
+    )
+    assert q.awaitTermination(120)
+    sink = spark.table("topk_test").toPandas()
+    # at least two emissions for key 1 (one per batch containing it)
+    assert sink[sink["key"] == 1]["n_seen"].nunique() >= 2
+    final = sink.loc[sink.groupby("key")["n_seen"].transform("max") == sink["n_seen"]]
+    got = {
+        (r["key"], r["rank"]): (r["item"], r["cnt"]) for _, r in final.iterrows()
+    }
+    # u1 global: b:4 a:2 c:1 -> top2 = b, a ; u2: x:2
+    assert got[(1, 1)] == ("b", 4)
+    assert got[(1, 2)] == ("a", 2)
+    assert got[(2, 1)] == ("x", 2)
