@@ -70,6 +70,7 @@ def connected_components(
     resume: bool = True,
     label_by_size: bool = True,
     consolidate_singles: bool = False,
+    loop_partitions: int | None = None,
 ) -> DataFrame:
     """Returns ``(id, cp)``. ``cp`` is the size-ordered dense label by default
     (reference semantics); pass ``label_by_size=False`` for raw canonical
@@ -77,9 +78,19 @@ def connected_components(
     spark = edges.sparkSession
     ckpt = SuperstepCheckpoint(spark, checkpoint_dir, job_id)
 
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+    e0 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
         F.col(src) != F.col(dst)
-    ).distinct()
+    ).distinct().persist()  # superstep 0 reads it twice per star — keep it
+    e = e0
+    e0.count()
+    # loop_partitions overrides the session shuffle width for the star
+    # rounds (restored in the finally). Unlike the SCC label loop, a
+    # measured A/B at bench scale showed NO win from auto-clamping here —
+    # the star rounds are compute-heavy per row, not dispatch-bound — so
+    # the default keeps the session setting and the knob stays explicit.
+    conf_parts = spark.conf.get("spark.sql.shuffle.partitions", "32")
+    if loop_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_partitions))
 
     start_iter = 0
     if resume:
@@ -92,47 +103,54 @@ def connected_components(
 
     prev_sig = None
     prev_state = None
-    for k in range(start_iter, max_iter):
-        e2 = _small_star(_large_star(e))
-        # one action per superstep: the signature aggregation materializes the
-        # (lazily) checkpointed edge set; durable mode re-reads parquet first
-        if ckpt.enabled:
-            e2 = ckpt.save(k, e2, {"superstep": k})
-        else:
-            e2 = e2.localCheckpoint(eager=False)
-        sig_row = e2.agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("hsh"),
-        ).collect()[0]
-        sig = (sig_row["cnt"], sig_row["hsh"])
-        converged = sig == prev_sig
-        if prev_state is not None and not ckpt.enabled:
-            prev_state.unpersist()
-        prev_state = e2
-        e = e2
-        ckpt.update_metrics(k, {"edges": int(sig_row["cnt"]), "converged": converged})
-        if converged:
-            break
-        prev_sig = sig
+    try:
+        for k in range(start_iter, max_iter):
+            e2 = _small_star(_large_star(e))
+            # one action per superstep: the signature aggregation materializes
+            # the (lazily) checkpointed edge set; durable mode re-reads parquet
+            if ckpt.enabled:
+                e2 = ckpt.save(k, e2, {"superstep": k})
+            else:
+                e2 = e2.localCheckpoint(eager=False)
+            sig_row = e2.agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("hsh"),
+            ).collect()[0]
+            sig = (sig_row["cnt"], sig_row["hsh"])
+            converged = sig == prev_sig
+            if prev_state is not None and not ckpt.enabled:
+                prev_state.unpersist()
+            prev_state = e2
+            e = e2
+            ckpt.update_metrics(k, {"edges": int(sig_row["cnt"]), "converged": converged})
+            if converged:
+                break
+            prev_sig = sig
 
-    # final star forest: every a points at its component's min vertex b
-    labels = e.groupBy("a").agg(F.min("b").alias("cp_raw")).select(
-        F.col("a").alias(index_col), "cp_raw"
-    )
-    roots = e.select(F.col("b").alias(index_col)).distinct().join(
-        labels.select(index_col), index_col, "left_anti"
-    ).withColumn("cp_raw", F.col(index_col))
-    all_labeled = labels.union(roots.select(index_col, "cp_raw"))
-
-    if vertices is not None:
-        vs = vertices.select(F.col(vertices.columns[0]).alias(index_col)).distinct()
-        all_labeled = vs.join(all_labeled, index_col, "left").withColumn(
-            "cp_raw", F.coalesce("cp_raw", F.col(index_col))
+        # final star forest: every a points at its component's min vertex b
+        labels = e.groupBy("a").agg(F.min("b").alias("cp_raw")).select(
+            F.col("a").alias(index_col), "cp_raw"
         )
+        roots = e.select(F.col("b").alias(index_col)).distinct().join(
+            labels.select(index_col), index_col, "left_anti"
+        ).withColumn("cp_raw", F.col(index_col))
+        all_labeled = labels.union(roots.select(index_col, "cp_raw"))
 
-    return finalize_component_labels(
-        all_labeled, index_col, label_by_size, consolidate_singles
-    )
+        if vertices is not None:
+            vs = vertices.select(F.col(vertices.columns[0]).alias(index_col)).distinct()
+            all_labeled = vs.join(all_labeled, index_col, "left").withColumn(
+                "cp_raw", F.coalesce("cp_raw", F.col(index_col))
+            )
+
+        return finalize_component_labels(
+            all_labeled, index_col, label_by_size, consolidate_singles
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", conf_parts)
+        # the returned plan roots at the last localCheckpointed star state
+        # (lineage truncated), so the INPUT edge cache can go (e is rebound
+        # to the loop state — only the initial e0 is released here)
+        e0.unpersist()
 
 
 def finalize_component_labels(
