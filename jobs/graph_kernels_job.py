@@ -19,7 +19,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--turns", type=int, default=100_000)
     ap.add_argument("--tau", type=float, default=120.0)
-    ap.add_argument("--kernels", default="pagerank,cc,lpa,triangles")  # also: scc,kcore,bfs,c4
+    ap.add_argument("--kernels", default="pagerank,cc,lpa,triangles")  # also: scc,kcore,bfs,sssp,c4,ego
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument(
         "--max-label-iter", type=int, default=2000,
@@ -43,6 +43,7 @@ def main():
         k_core,
         label_propagation,
         pagerank,
+        sssp,
         strongly_connected_components,
         triangle_count,
     )
@@ -113,6 +114,29 @@ def main():
             "sec": round(time.time() - t0, 2),
             "n_reached": dist.count(),
             "max_dist": dist.agg(F.max("dist")).collect()[0][0],
+        }
+    if "sssp" in kernels:
+        t0 = time.time()
+        # weight = inter-turn delay in exact integer microseconds
+        we = g.e.select(
+            "s", "t", F.round(F.col("dt_s") * 1e6, 0).alias("w")
+        ) if "dt_s" in g.e.columns else edges.withColumn("w", F.lit(1.0))
+        d = sssp(we, verts.limit(100))
+        out["sssp"] = {
+            "sec": round(time.time() - t0, 2),
+            "n_reached": d.count(),
+            "max_dist": d.agg(F.max("dist")).collect()[0][0],
+        }
+    if "ego" in kernels:
+        from deepgraph_spark.core import DeepGraphFrame
+
+        t0 = time.time()
+        eg = DeepGraphFrame(verts.withColumnRenamed("id", "v"), edges, index_col="v")
+        eg.ego_net(verts.limit(100), radius=2, direction="forward")
+        out["ego"] = {
+            "sec": round(time.time() - t0, 2),
+            "n_vertices": eg.v.count(),
+            "n_edges": eg.e.count(),
         }
     if "c4" in kernels:
         t0 = time.time()
