@@ -239,3 +239,17 @@ def test_scc_serial_tail_dense_fallback(spark):
     ).toPandas()
     # one giant SCC labeled by its min member
     assert set(out["cp"]) == {0} and len(out) == n
+
+
+def test_tarjan_min_labels_matches_oracle():
+    """Driver-side serial-tail Tarjan vs the independent test oracle on
+    random digraphs (pure Python, no Spark session needed)."""
+    from deepgraph_spark.algorithms.scc import _tarjan_min_labels
+
+    for seed, n, m in [(0, 30, 60), (1, 50, 200), (2, 15, 100)]:
+        edges = [(int(a), int(b)) for a, b in random_digraph(n, m, seed=seed)]
+        got = _tarjan_min_labels(edges)
+        want = scc_oracle(edges, n)
+        nodes = {x for p in edges for x in p}
+        for v in nodes:
+            assert got[v] == want[v], f"seed {seed} vertex {v}"
