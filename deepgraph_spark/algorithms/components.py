@@ -71,6 +71,7 @@ def connected_components(
     label_by_size: bool = True,
     consolidate_singles: bool = False,
     loop_partitions: int | None = None,
+    persist_input: bool = False,
 ) -> DataFrame:
     """Returns ``(id, cp)``. ``cp`` is the size-ordered dense label by default
     (reference semantics); pass ``label_by_size=False`` for raw canonical
@@ -80,30 +81,39 @@ def connected_components(
 
     e0 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
         F.col(src) != F.col(dst)
-    ).distinct().persist()  # superstep 0 reads it twice per star — keep it
+    ).distinct()
+    # persist_input caches the deduped input edge set. Only superstep 0 reads
+    # it (twice, once per star pass) before ``e`` rebinds to checkpointed loop
+    # state, and a same-session A/B at bench scale (sf0.1 event edges) showed
+    # the eager cache COSTS ~55% wall time (4.08s -> 6.31s median, disjoint
+    # repeat bands): the extra action + cache write outweigh one saved
+    # re-evaluation. Off by default; the knob stays for callers that feed an
+    # expensive upstream plan (e.g. a multi-join edge derivation).
+    if persist_input:
+        e0 = e0.persist()
     e = e0
-    e0.count()
-    # loop_partitions overrides the session shuffle width for the star
-    # rounds (restored in the finally). Unlike the SCC label loop, a
-    # measured A/B at bench scale showed NO win from auto-clamping here —
-    # the star rounds are compute-heavy per row, not dispatch-bound — so
-    # the default keeps the session setting and the knob stays explicit.
     conf_parts = spark.conf.get("spark.sql.shuffle.partitions", "32")
-    if loop_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(loop_partitions))
-
-    start_iter = 0
-    if resume:
-        latest = ckpt.latest()
-        if latest is not None:
-            start_iter, e, prev_metrics = latest
-            if prev_metrics.get("converged"):
-                max_iter = 0  # skip straight to labeling
-            start_iter += 1
 
     prev_sig = None
     prev_state = None
     try:
+        # loop_partitions overrides the session shuffle width for the star
+        # rounds (restored in the finally). Unlike the SCC label loop, a
+        # measured A/B at bench scale showed NO win from auto-clamping here —
+        # the star rounds are compute-heavy per row, not dispatch-bound — so
+        # the default keeps the session setting and the knob stays explicit.
+        if loop_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", str(loop_partitions))
+
+        start_iter = 0
+        if resume:
+            latest = ckpt.latest()
+            if latest is not None:
+                start_iter, e, prev_metrics = latest
+                if prev_metrics.get("converged"):
+                    max_iter = 0  # skip straight to labeling
+                start_iter += 1
+
         for k in range(start_iter, max_iter):
             e2 = _small_star(_large_star(e))
             # one action per superstep: the signature aggregation materializes
@@ -150,7 +160,8 @@ def connected_components(
         # the returned plan roots at the last localCheckpointed star state
         # (lineage truncated), so the INPUT edge cache can go (e is rebound
         # to the loop state — only the initial e0 is released here)
-        e0.unpersist()
+        if persist_input:
+            e0.unpersist()
 
 
 def finalize_component_labels(

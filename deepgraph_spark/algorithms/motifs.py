@@ -36,7 +36,13 @@ def wedge_count(edges: DataFrame, *, src: str = "s", dst: str = "t") -> int:
     """Exact wedge count sum_m C(deg(m), 2) of the undirected simple graph —
     the row count (and shuffle volume) of the wedge-enumeration join, from
     one degree aggregation (cost O(|E|), no join)."""
-    und = _undirected_simple(edges, src, dst)
+    return _wedge_count_from_und(_undirected_simple(edges, src, dst))
+
+
+def _wedge_count_from_und(und: DataFrame) -> int:
+    """Wedge count from an already-built undirected simple edge set — lets
+    ``common_neighbor_pairs`` share ONE union+distinct between the guard and
+    the wedge join instead of shuffling the symmetrization twice."""
     row = (
         und.groupBy("s")
         .agg(F.count(F.lit(1)).alias("deg"))
@@ -63,6 +69,7 @@ def common_neighbor_pairs(
     src: str = "s",
     dst: str = "t",
     max_wedges: int | None = 1_000_000_000,
+    max_middle_degree: int | None = None,
 ) -> DataFrame:
     """(a, b, p): ordered pairs a < b with their common-neighbor count p >= 1
     in the undirected simple graph. The building block for C4 counting and a
@@ -71,23 +78,49 @@ def common_neighbor_pairs(
     The wedge join materializes sum_m C(deg(m), 2) rows — quadratic in hub
     degree. ``max_wedges`` (default 1e9) pre-counts that exactly with one
     cheap degree aggregation and fails loudly when exceeded instead of
-    silently enumerating trillions of rows on a skewed graph; cap hub
-    middles upstream (drop or sample vertices above a degree cutoff — an
-    explicit, documented approximation) or pass ``max_wedges=None`` to run
-    the exact plan regardless."""
+    silently enumerating trillions of rows on a skewed graph.
+
+    ``max_middle_degree`` is the actionable follow-up the guard's error
+    message points at: wedges whose MIDDLE vertex has (undirected simple)
+    degree above the cap are dropped before enumeration, bounding the join
+    at sum_{deg(m) <= cap} C(deg(m), 2) <= |V| * C(cap, 2) rows regardless
+    of skew. Explicit, documented approximation — ``p`` becomes the number
+    of common neighbors of degree <= cap, a LOWER bound on the true count
+    (never an overcount), exact whenever no vertex exceeds the cap. The
+    wedge guard then counts only surviving wedges, so a cap makes a
+    hub-heavy graph admissible without raising ``max_wedges``."""
     und = _undirected_simple(edges, src, dst)
+    if max_wedges is not None or max_middle_degree is not None:
+        # the guard's degree pass is an extra action over ``und`` — pin the
+        # symmetrized edge set once (eager localCheckpoint: its storage is
+        # released with the returned plan by the context cleaner, unlike a
+        # persist() the caller would have to unpersist) so the union+distinct
+        # shuffle runs ONCE for the guard, the degree cap, and the wedge join
+        und = und.localCheckpoint(eager=True)
+    if max_middle_degree is not None:
+        # und holds both orientations, so groupBy(s) degrees ARE the
+        # undirected degrees; middles sit in the "s" slot of both wedge arms
+        ok = (
+            und.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .where(F.col("deg") <= max_middle_degree)
+            .select("s")
+        )
+        mid = und.join(ok, "s", "left_semi").localCheckpoint(eager=True)
+    else:
+        mid = und
     if max_wedges is not None:
-        w = wedge_count(edges, src=src, dst=dst)
+        w = _wedge_count_from_und(mid)
         if w > max_wedges:
             raise ValueError(
                 f"common_neighbor_pairs: graph has {w} wedges > "
                 f"max_wedges={max_wedges}; the wedge-enumeration join is "
-                "quadratic in hub degree — cap or sample high-degree middle "
-                "vertices upstream (documented approximation), or pass "
+                "quadratic in hub degree — cap hub middles with "
+                "max_middle_degree= (documented undercount), or pass "
                 "max_wedges=None to force the exact plan"
             )
-    n1 = und.select(F.col("s").alias("m"), F.col("t").alias("a"))
-    n2 = und.select(F.col("s").alias("m"), F.col("t").alias("b"))
+    n1 = mid.select(F.col("s").alias("m"), F.col("t").alias("a"))
+    n2 = mid.select(F.col("s").alias("m"), F.col("t").alias("b"))
     wedges = n1.join(n2, "m").where(F.col("a") < F.col("b"))
     return wedges.groupBy("a", "b").agg(F.count(F.lit(1)).alias("p"))
 
@@ -98,13 +131,23 @@ def four_cycle_count(
     src: str = "s",
     dst: str = "t",
     max_wedges: int | None = 1_000_000_000,
+    max_middle_degree: int | None = None,
 ) -> DataFrame:
     """One-row DataFrame ``(n_four_cycles,)`` — the number of (unordered,
     vertex-distinct) 4-cycles in the undirected simple graph. Sums in
     decimal(38,0): per-pair terms p*(p-1) reach ~1e12 on hub-heavy graphs
     and a long sum would wrap silently in non-ANSI mode (the DuckDB oracle
-    sums in HUGEINT — keep both exact)."""
-    pairs = common_neighbor_pairs(edges, src=src, dst=dst, max_wedges=max_wedges)
+    sums in HUGEINT — keep both exact).
+
+    With ``max_middle_degree`` the count is a LOWER bound: a cycle survives
+    through a diagonal only if both of that diagonal's middles have degree
+    <= cap, each cycle contributing half per surviving diagonal (0, 1/2, or
+    1 cycles; the final floor division truncates a trailing half). Exact
+    when no vertex exceeds the cap; never an overcount."""
+    pairs = common_neighbor_pairs(
+        edges, src=src, dst=dst, max_wedges=max_wedges,
+        max_middle_degree=max_middle_degree,
+    )
     # sum p*(p-1) is divisible by 4 (2 ordered diagonal choices x 2 diagonals)
     term = (F.col("p").cast("decimal(38,0)") * (F.col("p") - F.lit(1))).cast(
         "decimal(38,0)"

@@ -77,6 +77,7 @@ def pagerank(
     num_partitions: int | None = None,
     check_every: int = 1,
     teleport: DataFrame | None = None,
+    weight: str | None = None,
 ) -> tuple[DataFrame, list[dict]]:
     """Returns ``(ranks_df(id, rank), metrics_history)``. Convergence: L1
     delta < tol. ``resume=True`` restarts from the latest complete superstep
@@ -86,7 +87,20 @@ def pagerank(
     PageRank with the teleport (and dangling-mass) distribution uniform over
     that set instead of over all vertices; join mode only. The static ``pv``
     weight rides the rank state, so the superstep plan shape (co-partitioned
-    join + one dst-aggregation shuffle) is unchanged."""
+    join + one dst-aggregation shuffle) is unchanged.
+
+    ``weight``: an edge-weight column → weighted PageRank: each source
+    distributes its rank proportionally to edge weight, contribution =
+    rank(u) * w(u→v) / Σ_out w(u) (the random surfer follows an out-edge with
+    probability proportional to its weight — the walk the reference's
+    weighted ``return_cs_graph`` adjacency export feeds to scipy/graph-tool
+    downstream, deepgraph.py:1746-1856). Weights must be positive and
+    non-null (checked up front, fail-loud like sssp's negative-weight
+    reject). Implementation note: the per-source normalizer Σ_out w replaces
+    ``outdeg`` in the static state, so every mode (join/broadcast/coloc/
+    blocks), the dangling-mass logic (no out-edges → Σ = absent → dangling),
+    checkpoint/resume, and ``teleport`` compose with it unchanged — the
+    superstep plan is byte-identical to the unweighted one."""
     spark = edges.sparkSession
     personalized = teleport is not None
     if personalized and mode != "join":
@@ -94,9 +108,22 @@ def pagerank(
             "teleport (personalized PageRank) is implemented for mode='join' "
             f"(the unbounded-scale path); got mode={mode!r}"
         )
+    if weight is not None:
+        bad = edges.where(
+            F.col(weight).isNull() | (F.col(weight).cast("double") <= 0)
+        ).limit(1).count()
+        if bad:
+            raise ValueError(
+                f"pagerank weight column {weight!r} must be positive and "
+                "non-null: zero/negative weights make the per-source "
+                "distribution ill-defined (drop or clamp them upstream)"
+            )
+    w_cols = [F.col(weight).cast("double").alias("_ew")] if weight is not None else []
     if not directed:
-        back = edges.select(F.col(dst).alias(src), F.col(src).alias(dst))
-        edges = edges.select(src, dst).union(back)
+        back = edges.select(F.col(dst).alias(src), F.col(src).alias(dst), *w_cols)
+        edges = edges.select(F.col(src), F.col(dst), *w_cols).union(back)
+    elif weight is not None:
+        edges = edges.select(F.col(src), F.col(dst), *w_cols)
 
     verts = _vertices(edges, src, dst, vertices)
     n = verts.count()
@@ -110,7 +137,16 @@ def pagerank(
     # either side) — the dst aggregation is the single shuffle per superstep.
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    outdeg = edges.groupBy(F.col(src).alias("id")).agg(F.count(F.lit(1)).alias("outdeg"))
+    if weight is not None:
+        # Σ_out w(u) plays outdeg's role everywhere downstream (same column
+        # name on purpose): w = _ew / outdeg, dangling iff outdeg == 0
+        outdeg = edges.groupBy(F.col(src).alias("id")).agg(
+            F.sum("_ew").alias("outdeg")
+        )
+    else:
+        outdeg = edges.groupBy(F.col(src).alias("id")).agg(
+            F.count(F.lit(1)).alias("outdeg")
+        )
     verts_deg = verts.join(outdeg, "id", "left").fillna(0, subset=["outdeg"])
     if personalized:
         # uniform weight over the (distinct, graph-member) teleport set; the
@@ -132,10 +168,13 @@ def pagerank(
         )
     state_cols = ["outdeg", "pv"] if personalized else ["outdeg"]
     verts_deg = verts_deg.repartition(num_partitions, "id").persist()
+    numer = F.col("_ew") if weight is not None else F.lit(1.0)
     edges_w = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"), *(
+            ["_ew"] if weight is not None else []
+        ))
         .join(verts_deg.select("id", "outdeg"), F.col("src") == F.col("id"))
-        .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w"))
+        .select("src", "dst", (numer / F.col("outdeg")).alias("w"))
     )
     # join mode co-locates the contribution join (partition by src);
     # broadcast mode makes the dst aggregation exchange-free (partition by dst);
@@ -515,18 +554,26 @@ def pagerank_numpy_oracle(
     tol: float = 1e-6,
     max_iter: int = 200,
     p: np.ndarray | None = None,
+    weights: np.ndarray | None = None,
 ) -> np.ndarray:
     """Reference power iteration on dense-id edges (m×2 int array) — the
     parity oracle required by north_rule (allclose 1e-6). ``p`` is the
-    teleport distribution (personalized PageRank); None → uniform."""
+    teleport distribution (personalized PageRank); None → uniform.
+    ``weights`` (length m, positive) → weighted walk: contribution =
+    r(u) * w(u→v) / Σ_out w(u)."""
     src, dst = edges[:, 0], edges[:, 1]
-    outdeg = np.bincount(src, minlength=n).astype(float)
+    if weights is None:
+        wvals = np.ones(len(src))
+        outdeg = np.bincount(src, minlength=n).astype(float)
+    else:
+        wvals = np.asarray(weights, dtype=float)
+        outdeg = np.bincount(src, weights=wvals, minlength=n)
     if p is None:
         p = np.full(n, 1.0 / n)
     r = p.copy()
     for _ in range(max_iter):
         dangling = r[outdeg == 0].sum()
-        contrib = np.bincount(dst, weights=r[src] / np.where(outdeg[src] == 0, 1, outdeg[src]), minlength=n)
+        contrib = np.bincount(dst, weights=r[src] * wvals / np.where(outdeg[src] == 0, 1, outdeg[src]), minlength=n)
         new_r = (1 - damping) * p + damping * (contrib + dangling * p)
         if np.abs(new_r - r).sum() < tol:
             return new_r

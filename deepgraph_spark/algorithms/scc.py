@@ -67,7 +67,9 @@ def _min_labels_fg(
     *,
     max_iter: int,
     barrier_dir: str | None = None,
-) -> DataFrame:
+    barrier_every: int = _BARRIER_EVERY,
+    jumps_done: int = 0,
+) -> tuple[DataFrame, int]:
     """Joint fixed point of both reachability labels, ONE action per
     superstep (they are independent, so fusing them halves the job count):
 
@@ -86,10 +88,15 @@ def _min_labels_fg(
     exponentially from ~iteration 7-11 (0.3 s/iter flat → 1.3 → 6 → 26 →
     105+ s) despite constant-size plans, flat RDD lineage, and constant
     data; joins against STATIC inputs (the edge table) stay flat
-    indefinitely. The fix is an IO barrier: every ``_BARRIER_EVERY``
-    supersteps the label state round-trips through parquet under
+    indefinitely. The fix is an IO barrier: after every ``barrier_every``
+    jump supersteps the label state round-trips through parquet under
     ``barrier_dir``, whose fresh file-scan leaf fully resets the
     accumulation (measured flat through 30+ supersteps with barriers).
+    ``jumps_done`` is the number of jump supersteps the INPUT state already
+    carries since its last file-scan reset — the accumulation crosses loop
+    invocations through any RDD-checkpointed state, so the caller threads
+    the counter across outer rounds instead of paying a parquet round-trip
+    per round; the return value is the residual count for the output state.
 
     Without ``barrier_dir`` (no shared filesystem available — parquet
     barriers need one on a real cluster), the loop is plain synchronous
@@ -98,80 +105,119 @@ def _min_labels_fg(
     FW-BW and Slota Multistep are likewise diameter-bound per phase).
 
     ``verts`` is (id,), ``e`` is (a, b) meaning a→b. Returns
-    (id, flab, glab)."""
+    ((id, flab, glab), jumps_since_last_reset)."""
     spark = verts.sparkSession
     jump = barrier_dir is not None
     lab = verts.select("id", F.col("id").alias("flab"), F.col("id").alias("glab"))
 
-    prev_sig = None
+    # the active edge set usually arrives as a LAZY semi-join/filter chain
+    # (trim restriction, class restriction) — materialize it once so the
+    # per-superstep scans read flat cached blocks instead of re-running the
+    # restriction joins twice per superstep
+    e = e.localCheckpoint(eager=True)
+
     prev_state = None
     prev_barrier: str | None = None
     t_loop = time.time()
-    for it in range(max_iter):
-        t_it = time.time()
-        fnbr = (
-            e.join(lab.select(F.col("id").alias("a"), F.col("flab").alias("nf")), "a")
-            .groupBy(F.col("b").alias("id"))
-            .agg(F.min("nf").alias("nf"))
-        )
-        gnbr = (
-            e.join(lab.select(F.col("id").alias("b"), F.col("glab").alias("ng")), "b")
-            .groupBy(F.col("a").alias("id"))
-            .agg(F.min("ng").alias("ng"))
-        )
-        new = lab.join(fnbr, "id", "left").join(gnbr, "id", "left")
-        fterms = [F.col("flab"), F.coalesce("nf", "flab")]
-        gterms = [F.col("glab"), F.coalesce("ng", "glab")]
-        if jump:
-            fjump = (
-                lab.select("id", F.col("flab").alias("fjid"))
-                .join(lab.select(F.col("id").alias("fjid"), F.col("flab").alias("jf")), "fjid")
-                .select("id", "jf")
+    try:
+        for it in range(max_iter):
+            t_it = time.time()
+            # fused f/g message pass: ONE edge-message join + ONE pivot
+            # aggregation carries both label kinds (f flows a→b, g flows
+            # b→a), halving the per-superstep stage count vs separate
+            # fnbr/gnbr joins — the dominant cost at small active sizes is
+            # per-stage dispatch, not rows
+            msg = e.select(
+                F.col("a").alias("u"), F.col("b").alias("v"), F.lit(True).alias("isf")
+            ).union(
+                e.select(F.col("b").alias("u"), F.col("a").alias("v"), F.lit(False).alias("isf"))
             )
-            gjump = (
-                lab.select("id", F.col("glab").alias("gjid"))
-                .join(lab.select(F.col("id").alias("gjid"), F.col("glab").alias("jg")), "gjid")
-                .select("id", "jg")
+            vals = msg.join(
+                lab.select(F.col("id").alias("u"), "flab", "glab"), "u"
+            ).select(
+                "v",
+                "isf",
+                F.when(F.col("isf"), F.col("flab")).otherwise(F.col("glab")).alias("val"),
             )
-            new = new.join(fjump, "id", "left").join(gjump, "id", "left")
-            fterms.append(F.coalesce("jf", "flab"))
-            gterms.append(F.coalesce("jg", "glab"))
-        new = new.select(
-            "id", F.least(*fterms).alias("flab"), F.least(*gterms).alias("glab")
-        )
+            nbr = vals.groupBy(F.col("v").alias("id")).agg(
+                F.min(F.when(F.col("isf"), F.col("val"))).alias("nf"),
+                F.min(F.when(~F.col("isf"), F.col("val"))).alias("ng"),
+            )
+            new = lab.join(nbr, "id", "left")
+            fterms = [F.col("flab"), F.coalesce("nf", "flab")]
+            gterms = [F.col("glab"), F.coalesce("ng", "glab")]
+            if jump:
+                # fused pointer jump: both label pointers resolve through one
+                # union + one join + one pivot agg (lab ← lab(lab) for f and g)
+                ptr = lab.select(
+                    "id", F.col("flab").alias("pid"), F.lit(True).alias("isf")
+                ).union(
+                    lab.select("id", F.col("glab").alias("pid"), F.lit(False).alias("isf"))
+                )
+                pv = ptr.join(
+                    lab.select(
+                        F.col("id").alias("pid"),
+                        F.col("flab").alias("pf"),
+                        F.col("glab").alias("pg"),
+                    ),
+                    "pid",
+                ).select(
+                    "id",
+                    "isf",
+                    F.when(F.col("isf"), F.col("pf")).otherwise(F.col("pg")).alias("val"),
+                )
+                jmp = pv.groupBy("id").agg(
+                    F.min(F.when(F.col("isf"), F.col("val"))).alias("jf"),
+                    F.min(F.when(~F.col("isf"), F.col("val"))).alias("jg"),
+                )
+                new = new.join(jmp, "id", "left")
+                fterms.append(F.coalesce("jf", "flab"))
+                gterms.append(F.coalesce("jg", "glab"))
+            # chg compares new vs old labels in-select (inputs still visible),
+            # so convergence is decided by the SAME action that materializes
+            # the superstep — exact, no hash signature needed
+            new = new.select(
+                "id",
+                F.least(*fterms).alias("flab"),
+                F.least(*gterms).alias("glab"),
+                (
+                    (F.least(*fterms) != F.col("flab"))
+                    | (F.least(*gterms) != F.col("glab"))
+                ).alias("chg"),
+            )
 
-        if jump and it % _BARRIER_EVERY == _BARRIER_EVERY - 1:
-            path = os.path.join(barrier_dir, f"it_{it}")
-            new.write.mode("overwrite").parquet(path)
-            new = spark.read.parquet(path)
-            if prev_barrier is not None:
-                shutil.rmtree(prev_barrier, ignore_errors=True)
-            prev_barrier = path
+            if jump:
+                jumps_done += 1
+            if jump and jumps_done >= barrier_every:
+                path = os.path.join(barrier_dir, f"it_{it}")
+                new.write.mode("overwrite").parquet(path)
+                new = spark.read.parquet(path)
+                if prev_barrier is not None:
+                    shutil.rmtree(prev_barrier, ignore_errors=True)
+                prev_barrier = path
+                jumps_done = 0
+            else:
+                new = new.localCheckpoint(eager=False)
+            # single action: the change count materializes the superstep
+            n_chg = new.agg(F.sum(F.col("chg").cast("long")).alias("c")).collect()[0]["c"]
+            if _DEBUG:
+                print(
+                    f"[scc] superstep {it}: {time.time() - t_it:.2f}s "
+                    f"(loop {time.time() - t_loop:.2f}s) changed={n_chg}"
+                )
+            if prev_state is not None:
+                prev_state.unpersist()
+            prev_state = new
+            lab = new.select("id", "flab", "glab")
+            if not n_chg:
+                break
         else:
-            new = new.localCheckpoint(eager=False)
-        # single action: signature aggregation materializes the superstep
-        row = new.agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.sum(F.xxhash64("id", "flab", "glab").cast("decimal(38,0)")).alias("hsh"),
-        ).collect()[0]
-        sig = (row["cnt"], row["hsh"])
-        if _DEBUG:
-            print(
-                f"[scc] superstep {it}: {time.time() - t_it:.2f}s "
-                f"(loop {time.time() - t_loop:.2f}s) sig={sig}"
+            raise RuntimeError(
+                f"_min_labels_fg did not converge in {max_iter} supersteps — raise max_label_iter"
             )
-        if prev_state is not None:
-            prev_state.unpersist()
-        prev_state = new
-        lab = new
-        if sig == prev_sig:
-            break
-        prev_sig = sig
-    else:
-        raise RuntimeError(
-            f"_min_labels_fg did not converge in {max_iter} supersteps — raise max_label_iter"
-        )
-    return lab
+    finally:
+        e.unpersist()
+    return lab, jumps_done
 
 
 def strongly_connected_components(
@@ -185,6 +231,8 @@ def strongly_connected_components(
     max_label_iter: int = 100,
     trim_iter: int = 4,
     serial_tail_threshold: int = 50_000,
+    barrier_every: int = _BARRIER_EVERY,
+    trim_min_frac: float = 0.1,
     accelerate: bool | None = None,
     checkpoint_dir: str | None = None,
     job_id: str = "scc",
@@ -203,7 +251,9 @@ def strongly_connected_components(
     isolated vertices, stars, and DAG fringes never reach the label loop
     (a pure DAG whose trim converges costs zero label supersteps). Each
     trim iteration is one degree aggregation, far cheaper than a label
-    fixed point; 0 disables trimming.
+    fixed point; 0 disables trimming. ``trim_min_frac`` stops the pre-pass
+    early once an iteration peels less than that fraction of the active set
+    (the leftovers are the label loop's job anyway).
 
     ``serial_tail_threshold``: when the post-trim active remainder has at
     most this many vertices (and ≤ 20 edges per vertex), it is collected
@@ -213,6 +263,12 @@ def strongly_connected_components(
     the default 50k vertices / 1M edges the collected tail is ~16 MB of
     longs — bounded driver memory at any input scale, because the
     threshold gates entry. 0 keeps everything distributed.
+
+    ``barrier_every``: jump supersteps between the accelerated path's parquet
+    analysis-reset barriers (see :func:`_min_labels_fg`); the counter carries
+    across outer rounds, so fast-converging rounds pay no per-round barrier.
+    Must stay below the measured pathology onset (~7-11); the default is the
+    bench-swept optimum.
 
     ``accelerate`` turns on pointer-jump label propagation (O(log diameter)
     supersteps instead of O(diameter) — see :func:`_min_labels_fg`), which
@@ -236,7 +292,11 @@ def strongly_connected_components(
             barrier_root = os.path.join(checkpoint_dir, job_id, "_label_barriers")
             os.makedirs(barrier_root, exist_ok=True)
         elif spark.sparkContext.master.startswith("local"):
-            barrier_root = tempfile.mkdtemp(prefix="dg_scc_labels_")
+            # barriers are tiny label tables read right back — in local mode
+            # prefer tmpfs over the real disk (a cluster run passes
+            # checkpoint_dir on its shared filesystem instead)
+            shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+            barrier_root = tempfile.mkdtemp(prefix="dg_scc_labels_", dir=shm)
             temp_root = True
         elif accelerate:
             raise ValueError(
@@ -244,12 +304,17 @@ def strongly_connected_components(
                 "pass checkpoint_dir (cluster) or run in local mode"
             )
 
-    e = (
+    # keep the persisted input under its OWN name: ``e`` is rebound by the
+    # resume branch and by _outer_loop's return, so unpersisting ``e`` in the
+    # finally would target the rebound loop state and leak the input cache
+    # across bench repeats (mirrors components.py's e0 discipline)
+    e0 = (
         edges.select(F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b"))
         .where(F.col("a") != F.col("b"))  # self-loops never change SCC membership
         .distinct()
         .persist()  # every superstep joins e twice — never recompute upstream
     )
+    e = e0
     m = e.count()
     # the label loop only ever needs edge ENDPOINTS: a vertex with no edges
     # is trivially its own SCC and is folded in by the final coalesce against
@@ -288,6 +353,7 @@ def strongly_connected_components(
         assigned, e, v, done = _outer_loop(
             ckpt, v, e, assigned, start_iter, max_outer, max_label_iter,
             barrier_root, done, trim_iter, serial_tail_threshold,
+            barrier_every, trim_min_frac,
         )
 
         if not done and _nonempty(v):
@@ -318,12 +384,12 @@ def strongly_connected_components(
         return result
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", conf_parts)
-        e.unpersist()
+        e0.unpersist()
         if temp_root and barrier_root is not None:
             shutil.rmtree(barrier_root, ignore_errors=True)
 
 
-def _trim(v, e, *, max_iter, stop_below=0):
+def _trim(v, e, *, max_iter, stop_below=0, min_frac=0.1):
     """Multistep trim (Slota et al.): iteratively peel vertices whose
     in-degree or out-degree within the ACTIVE subgraph is 0 — each such
     vertex can't lie on any directed cycle, so it is a singleton SCC;
@@ -371,9 +437,13 @@ def _trim(v, e, *, max_iter, stop_below=0):
         prev_n, n_active = n_active, n_keep
         if _DEBUG:
             print(f"[scc] trim {it}: active={n_active}")
-        if n_active <= stop_below or n_active == prev_n:
-            # converged, emptied, or already small enough for the caller's
-            # serial tail finisher — further peeling buys nothing
+        if n_active <= stop_below or n_active == prev_n or (
+            prev_n is not None and prev_n - n_active < min_frac * prev_n
+        ):
+            # converged, emptied, small enough for the caller's serial tail,
+            # or the peel rate went marginal (< min_frac of the active set):
+            # each further iteration costs a fixed degree-aggregation action,
+            # and whatever survives is the label loop's job anyway
             break
     return v, e, peeled, n_active, keeps
 
@@ -438,10 +508,18 @@ def _tarjan_min_labels(edges: list[tuple[int, int]]) -> dict[int, int]:
 
 
 def _outer_loop(ckpt, v, e, assigned, start_iter, max_outer, max_label_iter,
-                barrier_root, done, trim_iter=4, serial_tail_threshold=50_000):
+                barrier_root, done, trim_iter=4, serial_tail_threshold=50_000,
+                barrier_every=_BARRIER_EVERY, trim_min_frac=0.1):
     """(f,g)-class refinement rounds; returns (assigned, e, v, done)."""
     prev_round_state = None  # last round's materialized state, freed once superseded
+    pending_release = []  # handles a LAZY round state still reads; freed next round
     spark = e.sparkSession
+    # jump supersteps accumulated in the loop state since its last file-scan
+    # reset — threaded through every label loop so the Spark 4 jump-join
+    # analysis pathology (see _min_labels_fg) stays in its flat regime
+    # WITHOUT a parquet round-trip per outer round (measured: the per-round
+    # round-trip dominated small-remainder rounds)
+    jumps = 0
     for k in range(start_iter, max_outer):
         t_round = time.time()
         barrier_dir = None
@@ -452,7 +530,8 @@ def _outer_loop(ckpt, v, e, assigned, start_iter, max_outer, max_label_iter,
         keeps = []
         if trim_iter > 0:
             v, e, peeled, n_active, keeps = _trim(
-                v, e, max_iter=trim_iter, stop_below=serial_tail_threshold
+                v, e, max_iter=trim_iter, stop_below=serial_tail_threshold,
+                min_frac=trim_min_frac,
             )
             if peeled is not None:
                 assigned = peeled if assigned is None else assigned.union(peeled)
@@ -495,8 +574,9 @@ def _outer_loop(ckpt, v, e, assigned, start_iter, max_outer, max_label_iter,
             # through to the state save so resume still sees a full round
             rest = None
         else:
-            lbl = _min_labels_fg(
-                v, e, max_iter=max_label_iter, barrier_dir=barrier_dir
+            lbl, jumps = _min_labels_fg(
+                v, e, max_iter=max_label_iter, barrier_dir=barrier_dir,
+                barrier_every=barrier_every, jumps_done=jumps,
             )
             extracted = lbl.where(F.col("flab") == F.col("glab")).select(
                 "id", F.col("flab").alias("cp_raw")
@@ -523,55 +603,73 @@ def _outer_loop(ckpt, v, e, assigned, start_iter, max_outer, max_label_iter,
             if not ckpt.enabled:
                 # terminal round with no durable checkpoint to write and no
                 # further label loops to protect with an analysis reset —
-                # _trim already materialized everything it produced
+                # materialize the label table off the trim keep-set caches,
+                # then release them (and the previous round's deferred
+                # handles, which this round's actions have already read)
+                if assigned is not None:
+                    assigned = assigned.localCheckpoint(eager=True)
+                for kp in keeps:
+                    kp.unpersist()
+                for h in pending_release:
+                    h.unpersist()
                 ckpt.update_metrics(k, {"active": 0, "converged": True})
                 if barrier_dir is not None:
                     shutil.rmtree(barrier_dir, ignore_errors=True)
                 done = True
                 break
 
-        # one durable state per outer round; a single count() action
-        # materializes assigned+edges+verts together
-        state = (
-            assigned.select(F.lit("L").alias("kind"), F.col("id").alias("x"), F.col("cp_raw").alias("y"))
-            .union(e.select(F.lit("E"), "a", "b"))
-            .union(v.select(F.lit("V"), "id", F.lit(None).cast("long")))
-        )
-        if ckpt.enabled or barrier_root is None:
-            # parquet when durable checkpointing is on (which also acts as
-            # the cross-round analysis-reset barrier), else localCheckpoint
+        if ckpt.enabled:
+            # durable: one kind-tagged parquet state per round (the resume
+            # unit); the save's re-read is also a fresh file-scan root
+            state = (
+                assigned.select(F.lit("L").alias("kind"), F.col("id").alias("x"), F.col("cp_raw").alias("y"))
+                .union(e.select(F.lit("E"), "a", "b"))
+                .union(v.select(F.lit("V"), "id", F.lit(None).cast("long")))
+            )
             state = ckpt.save(k, state, {"superstep": k})
+            jumps = 0
+            n_rest = state.where(F.col("kind") == "V").count()
+            round_handles = [state]
+            assigned = state.where(F.col("kind") == "L").select(
+                F.col("x").alias("id"), F.col("y").alias("cp_raw")
+            )
+            e = state.where(F.col("kind") == "E").select(
+                F.col("x").alias("a"), F.col("y").alias("b")
+            )
+            v = state.where(F.col("kind") == "V").select(F.col("x").alias("id"))
         else:
-            # accelerated but non-durable: the state MUST round-trip through
-            # parquet anyway — the Spark 4 jump-join analysis pathology (see
-            # _min_labels_fg) accumulates ACROSS label loops through any
-            # RDD-checkpointed state, and only a file-scan-rooted plan
-            # resets it (fast-converging rounds never fire the in-loop
-            # barrier, so this is the reset that keeps round N+1 flat)
-            spath = os.path.join(barrier_root, f"state_{k}")
-            state.write.mode("overwrite").parquet(spath)
-            state = state.sparkSession.read.parquet(spath)
-            prev_spath = os.path.join(barrier_root, f"state_{k - 1}")
-            shutil.rmtree(prev_spath, ignore_errors=True)
-        n_rest = state.where(F.col("kind") == "V").count()
-        # state is materialized: release the round's label result and the
-        # previous round's state blocks (localCheckpoint storage is not
-        # safely evictable — lineage was truncated — so free it explicitly,
-        # mirroring the k-core/CC unpersist discipline)
-        if lbl is not None:
-            lbl.unpersist()
-        for kp in keeps:  # trim keep sets are baked into state now
-            kp.unpersist()
-        if prev_round_state is not None:
-            prev_round_state.unpersist()
-        prev_round_state = state
-        assigned = state.where(F.col("kind") == "L").select(
-            F.col("x").alias("id"), F.col("y").alias("cp_raw")
+            # non-durable: separate checkpoints instead of the kind-union
+            # (which cost a union build + three kind-filter rescans next
+            # round). Lineage stays flat, and the jump-join analysis
+            # pathology (see _min_labels_fg) stays in its flat regime
+            # WITHOUT a per-round parquet round-trip because the ``jumps``
+            # carry keeps the accumulated depth below ``barrier_every`` —
+            # the next label loop fires its in-loop barrier first (measured:
+            # the per-round round-trip dominated fast-converging
+            # small-remainder rounds). The loop is action-count bound at
+            # small remainders (~0.4 s/job dispatch floor), so only
+            # ``assigned`` and ``v`` materialize eagerly here (v's count is
+            # the round metric anyway); ``e`` stays lazy and folds its
+            # materialization into the next round's first action — which is
+            # why ``lbl`` and the trim keep sets CANNOT be released yet
+            # (e's restriction joins still read their cached blocks): they
+            # defer one round, to after the lazy state has materialized.
+            assigned = assigned.localCheckpoint(eager=True)
+            e = e.localCheckpoint(eager=False)
+            v = v.localCheckpoint(eager=True)
+            n_rest = v.count()
+            round_handles = [assigned, e, v]
+        # localCheckpoint storage is not safely evictable — lineage was
+        # truncated — so free superseded handles explicitly, mirroring the
+        # k-core/CC unpersist discipline: this round's actions have fully
+        # materialized LAST round's state, so last round's deferred handles
+        # (label result, trim keeps, state blocks) can all go now
+        for h in pending_release:
+            h.unpersist()
+        pending_release = ([lbl] if lbl is not None else []) + keeps + (
+            prev_round_state or []
         )
-        e = state.where(F.col("kind") == "E").select(
-            F.col("x").alias("a"), F.col("y").alias("b")
-        )
-        v = state.where(F.col("kind") == "V").select(F.col("x").alias("id"))
+        prev_round_state = round_handles
         ckpt.update_metrics(k, {"active": int(n_rest), "converged": n_rest == 0})
         if _DEBUG:
             print(f"[scc] round {k} total: {time.time() - t_round:.2f}s (rest={n_rest})")
@@ -579,6 +677,13 @@ def _outer_loop(ckpt, v, e, assigned, start_iter, max_outer, max_label_iter,
             # state is materialized; this round's label barriers can go
             shutil.rmtree(barrier_dir, ignore_errors=True)
         if n_rest == 0:
+            # converged: force the lazy edge state (empty) so this round's
+            # deferred handles can be released before returning — the
+            # caller's final assembly must not depend on freed blocks
+            e.count()
+            for h in pending_release:
+                h.unpersist()
+            pending_release = []
             done = True
             break
     return assigned, e, v, done

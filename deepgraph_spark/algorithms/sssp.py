@@ -37,6 +37,7 @@ def sssp(
     weight: str = "w",
     direction: str = "forward",
     max_iter: int = 100,
+    max_dist: float | None = None,
 ) -> DataFrame:
     """Minimum weighted distance from the closest source vertex.
 
@@ -45,9 +46,19 @@ def sssp(
     Returns ``(id, dist)`` (dist: double) for every vertex reachable from
     any seed. Parallel edges collapse to their min weight. Raises on
     negative weights, and if still improving after ``max_iter`` rounds.
+
+    ``max_dist``: distance budget — candidates beyond it are dropped INSIDE
+    the loop, so the state (and every per-superstep join) only ever holds the
+    within-budget ball, not the whole reachable set. Exact, not approximate:
+    with non-negative weights every prefix of a within-budget path is itself
+    within budget, so pruning cannot cut an optimal path. Result = exactly
+    the vertices with true distance ≤ ``max_dist`` (the primitive behind
+    :meth:`DeepGraphFrame.ego_net_weighted`).
     """
     if direction not in ("forward", "backward", "undirected"):
         raise ValueError("direction must be forward | backward | undirected")
+    if max_dist is not None and max_dist < 0:
+        raise ValueError(f"max_dist must be non-negative, got {max_dist}")
     e = edges.select(
         F.col(src).alias("a"),
         F.col(dst).alias("b"),
@@ -87,6 +98,8 @@ def sssp(
                 .groupBy(F.col("b").alias("id"))
                 .agg(F.min(F.col("da") + F.col("w")).alias("nd"))
             )
+            if max_dist is not None:
+                cand = cand.where(F.col("nd") <= F.lit(float(max_dist)))
             merged = state.select("id", "dist").join(cand, "id", "full_outer")
             new_state = merged.select(
                 "id",

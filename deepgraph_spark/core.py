@@ -277,6 +277,48 @@ class DeepGraphFrame:
         self.update_edges()
         return self
 
+    def ego_net_weighted(
+        self,
+        seeds,
+        budget: float,
+        *,
+        weight_col: str = "w",
+        direction: str = "forward",
+        dist_col: str = "dist",
+        max_iter: int = 100,
+    ) -> "DeepGraphFrame":
+        """Weight-budget ego network — the weighted twin of :meth:`ego_net`:
+        keep the vertices whose weighted shortest-path distance from any seed
+        is ≤ ``budget`` ("everything within X seconds of these turns" on a
+        time-delta-weighted graph), append the distance, and induce the
+        edges. Composes :func:`deepgraph_spark.algorithms.sssp.sssp` with
+        ``max_dist`` in-loop pruning (the state never holds more than the
+        budget ball — exact under non-negative weights) and the reference's
+        filter-then-induce cascade (deepgraph.py:2539-2597 via
+        :meth:`update_edges`). ``seeds`` as in :meth:`ego_net`."""
+        from pyspark.sql import DataFrame as _DF
+
+        from deepgraph_spark.algorithms import sssp
+
+        if not isinstance(seeds, _DF):
+            seeds = self.v.sparkSession.createDataFrame(
+                [(s,) for s in seeds], f"{self.index_col} long"
+            )
+        d = sssp(
+            self.e,
+            seeds,
+            weight=weight_col,
+            direction=direction,
+            max_iter=max_iter,
+            max_dist=float(budget),
+        )
+        self.v = self.v.join(
+            d.select(F.col("id").alias(self.index_col), F.col("dist").alias(dist_col)),
+            self.index_col,
+        )
+        self.update_edges()
+        return self
+
     # -- binning / datetime categories (deepgraph.py:2321-2537) ------------
     def append_binning_labels_v(
         self,

@@ -253,6 +253,47 @@ def q_sssp_events(spark, sf_dir):
     )
 
 
+# 8h weighted radius: beyond the 4h single-edge band cap, so the gate's
+# distances necessarily prove multi-hop accumulation, not single-edge reach
+EGO_BUDGET_US = 28_800_000_000
+
+
+def q_ego_net_weighted_events(spark, sf_dir):
+    """Time-budget ego network: everything within 8 hours of cumulative
+    inter-event time from the seed set, over the directed band graph — the
+    weighted twin of the hop-radius gate (DeepGraphFrame.ego_net_weighted =
+    budget-pruned SSSP + update_edges cascade). Weights are exact integer
+    microseconds, so Spark's double accumulation and the depth-capped
+    recursive-CTE oracle's BIGINT sums agree bit-for-bit; the oracle prunes
+    walks at the same budget (exact under non-negative weights: every prefix
+    of a within-budget path is within budget)."""
+    from deepgraph_spark.core import DeepGraphFrame
+
+    v = _t(spark, sf_dir, "events").select(F.col("event_id").alias("id"))
+    e = event_edges(spark, sf_dir).select(
+        "s", "t", F.round(F.col("ft_r") * 1e6, 0).alias("w")
+    )
+    seeds = v.where(F.col("id") % 97 == 0)
+    g = DeepGraphFrame(v, e, index_col="id").ego_net_weighted(
+        seeds,
+        EGO_BUDGET_US,
+        weight_col="w",
+        direction="forward",
+        max_iter=SSSP_ORACLE_CAP - 1,
+    )
+    dv = g.v.select("id", "dist")
+    return (
+        g.e.join(dv.select(F.col("id").alias("s"), F.col("dist").alias("dist_s")), "s")
+        .join(dv.select(F.col("id").alias("t"), F.col("dist").alias("dist_t")), "t")
+        .select(
+            F.col("s").cast("long").alias("s"),
+            F.col("t").cast("long").alias("t"),
+            F.col("dist_s").cast("double").alias("dist_s"),
+            F.col("dist_t").cast("double").alias("dist_t"),
+        )
+    )
+
+
 def q_ego_net_events(spark, sf_dir):
     """2-hop forward ego network around the BFS seed set: vertices within
     radius hops keep their hop distance, edges are the induced subset — the
@@ -328,6 +369,31 @@ def q_ppr_events(spark, sf_dir):
     tp = ev.where(F.col("event_id") % 50 == 0).select(F.col("event_id").alias("id"))
     ranks, _ = pagerank(
         e, vertices=verts, tol=0.0, max_iter=PR_ITERS, mode="join", teleport=tp
+    )
+    return ranks.select(
+        F.col("id").cast("long").alias("id"), F.round("rank", 9).alias("rank")
+    )
+
+
+def q_weighted_pagerank_events(spark, sf_dir):
+    """Weighted PageRank gate: the surfer follows out-edges with probability
+    proportional to edge weight (contribution = rank·w/Σ_out w). Weights are
+    the integer-µs inter-event deltas + 1 (strictly positive; exactly
+    representable in double far below 2^53, so Σ_out w is order-independent
+    and both engines divide identical integers) — the time-delta-weighted
+    transcript walk the reference's weighted ``return_cs_graph`` export
+    (deepgraph.py:1746-1856) feeds downstream. Fixed 20 supersteps, unrolled
+    DuckDB power-iteration oracle with per-edge weights."""
+    from deepgraph_spark.algorithms import pagerank
+
+    e = event_edges(spark, sf_dir).select(
+        "s",
+        "t",
+        (F.round(F.col("ft_r") * 1e6, 0).cast("long") + F.lit(1)).alias("wt"),
+    )
+    verts = _t(spark, sf_dir, "events").select(F.col("event_id").alias("id"))
+    ranks, _ = pagerank(
+        e, vertices=verts, tol=0.0, max_iter=PR_ITERS, mode="join", weight="wt"
     )
     return ranks.select(
         F.col("id").cast("long").alias("id"), F.round("rank", 9).alias("rank")
@@ -1036,6 +1102,27 @@ ORACLES: dict[str, str] = {
         )
         SELECT id, CAST(MIN(dist) AS DOUBLE) AS dist FROM walk GROUP BY id
     """,
+    "ego_net_weighted_events": f"""
+        WITH RECURSIVE
+        e AS (SELECT a.event_id AS s, b.event_id AS t,
+                     epoch_us(b.ts) - epoch_us(a.ts) AS w
+              FROM events a JOIN events b
+                ON a.user_id = b.user_id
+               AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))
+               AND epoch_us(b.ts) - epoch_us(a.ts) <= {TAU_S}::BIGINT * 1000000),
+        seeds AS (SELECT event_id AS id FROM events WHERE event_id % 97 = 0),
+        walk(id, dist, hops) AS (
+            SELECT id, CAST(0 AS BIGINT), 0 FROM seeds
+            UNION
+            SELECT e.t, w.dist + e.w, w.hops + 1
+            FROM walk w JOIN e ON e.s = w.id
+            WHERE w.hops < {SSSP_ORACLE_CAP}
+              AND w.dist + e.w <= {EGO_BUDGET_US}
+        ),
+        d AS (SELECT id, CAST(MIN(dist) AS DOUBLE) AS dist FROM walk GROUP BY id)
+        SELECT e.s, e.t, ds.dist AS dist_s, dt.dist AS dist_t
+        FROM e JOIN d ds ON e.s = ds.id JOIN d dt ON e.t = dt.id
+    """,
     "sessionize_events": """
         WITH g AS (
             SELECT user_id, ts, event_id,
@@ -1298,8 +1385,46 @@ def _ppr_oracle_sql(iters: int = PR_ITERS, d: float = 0.85) -> str:
     return "".join(parts)
 
 
+def _weighted_pagerank_oracle_sql(iters: int = PR_ITERS, d: float = 0.85) -> str:
+    """Unrolled WEIGHTED power iteration: per-edge weight wt = integer-µs
+    delta + 1 (exactly representable in double), per-source normalizer
+    Σ_out wt summed exactly (integers below 2^53 → order-independent double
+    sum), contribution (wt / wout) * rank mirroring the Spark expression
+    shape; dangling = zero out-weight."""
+    parts = [
+        f"""
+        WITH e AS MATERIALIZED (SELECT s, t,
+                CAST(CAST(ROUND(ft_r * 1000000.0, 0) AS BIGINT) + 1 AS DOUBLE) AS wt
+                FROM ({EVENT_EDGES_SQL})),
+        verts AS MATERIALIZED (SELECT event_id AS id FROM events),
+        nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM verts),
+        deg AS MATERIALIZED (SELECT v.id, COALESCE(SUM(e.wt), 0.0) AS wout
+                FROM verts v LEFT JOIN e ON e.s = v.id GROUP BY v.id),
+        r0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM verts)"""
+    ]
+    for k in range(iters):
+        parts.append(
+            f""",
+        d{k} AS MATERIALIZED (SELECT COALESCE(SUM(CASE WHEN deg.wout = 0 THEN r.rank END), 0.0) AS dng
+                 FROM r{k} r JOIN deg ON deg.id = r.id),
+        c{k} AS MATERIALIZED (SELECT e.t AS id, SUM((e.wt / deg.wout) * r.rank) AS contrib
+                 FROM e JOIN r{k} r ON r.id = e.s JOIN deg ON deg.id = e.s
+                 GROUP BY e.t),
+        r{k + 1} AS MATERIALIZED (SELECT v.id,
+                (1.0 - {d}) / (SELECT n FROM nn)
+                + {d} * ((SELECT dng FROM d{k}) / (SELECT n FROM nn))
+                + {d} * COALESCE(c.contrib, 0.0) AS rank
+            FROM verts v LEFT JOIN c{k} c ON c.id = v.id)"""
+        )
+    parts.append(
+        f"\n        SELECT CAST(id AS BIGINT) AS id, ROUND(rank, 9) AS rank FROM r{iters}"
+    )
+    return "".join(parts)
+
+
 ORACLES["pagerank_events"] = _pagerank_oracle_sql()
 ORACLES["ppr_events"] = _ppr_oracle_sql()
+ORACLES["weighted_pagerank_events"] = _weighted_pagerank_oracle_sql()
 ORACLES["lpa_events"] = _lpa_oracle_sql()
 
 
@@ -1565,7 +1690,8 @@ ORACLES["corpus_ngram_topk_documents"] = """
 ORACLES["stream_topk_events"] = """
     WITH c AS (
         SELECT user_id, event_type, COUNT(*) AS cnt
-        FROM events GROUP BY user_id, event_type
+        FROM events WHERE event_type IS NOT NULL
+        GROUP BY user_id, event_type
     ), r AS (
         SELECT user_id, event_type, cnt,
                ROW_NUMBER() OVER (
@@ -1718,6 +1844,8 @@ QUERIES = {
     "bfs_events": q_bfs_events,
     "sssp_events": q_sssp_events,
     "ego_net_events": q_ego_net_events,
+    "ego_net_weighted_events": q_ego_net_weighted_events,
+    "weighted_pagerank_events": q_weighted_pagerank_events,
     "sessionize_events": q_sessionize_events,
     "top_components_events": q_top_components_events,
     "pagerank_events": q_pagerank_events,

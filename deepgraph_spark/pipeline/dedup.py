@@ -394,6 +394,10 @@ def _hyperplane_buckets(
     can mirror exactly (sign-of-dot LSH is valid for any symmetric plane
     distribution)."""
     first = emb.select(vec_col).first()
+    if first is None or first[0] is None:
+        # empty embedding input: no buckets at all (keeps the explicit-planes
+        # path's pre-probe behavior — an empty result, not a TypeError)
+        return emb.sparkSession.createDataFrame([], "vid long, table int, bucket long")
     dim = len(first[0])
     if planes is None:
         rng = np.random.default_rng(seed)

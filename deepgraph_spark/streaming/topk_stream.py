@@ -77,11 +77,19 @@ def stream_topk(
     """Continuous top-``k`` ``item_col`` values per ``key_col`` (long key,
     string item). Emits, per micro-batch and per active key, the current
     ranking ``(key, item, cnt, rank, n_seen)``; rank ties break on item
-    asc so the output is deterministic."""
+    asc so the output is deterministic.
+
+    Null items are dropped BEFORE the stateful stage (JVM-side filter), and
+    ``n_seen`` counts only non-null rows — previously ``value_counts()``
+    silently dropped nulls from the ranking while ``n_seen`` still counted
+    them, so engine and a GROUP BY oracle (which keeps a NULL group)
+    disagreed on null-bearing data; the filtered semantics are explicit and
+    mirror-able (oracle adds ``WHERE item IS NOT NULL``)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     return (
-        stream.select(stream[key_col].cast("long").alias("key"), stream[item_col].alias(item_col))
+        stream.where(stream[item_col].isNotNull())
+        .select(stream[key_col].cast("long").alias("key"), stream[item_col].alias(item_col))
         .groupBy("key")
         .applyInPandasWithState(
             _make_updater(item_col, k, max_items),

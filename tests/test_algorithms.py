@@ -50,6 +50,43 @@ def test_pagerank_parity(spark, name, n, m, seed):
         assert np.allclose(got, oracle, atol=1e-6), (name, mode)
 
 
+@pytest.mark.parametrize("name,n,m,seed", GRAPHS)
+def test_weighted_pagerank_parity(spark, name, n, m, seed):
+    """weight= distributes rank proportionally to edge weight in EVERY mode;
+    parity vs the numpy oracle's weighted walk."""
+    edges = random_digraph(n, m, seed)
+    rng = np.random.default_rng(seed + 100)
+    w = rng.integers(1, 50, size=len(edges)).astype(float)
+    e = spark.createDataFrame(
+        pd.DataFrame({"s": edges[:, 0], "t": edges[:, 1], "w": w})
+    )
+    v = spark.createDataFrame(pd.DataFrame({"id": np.arange(n)}))
+    oracle = pagerank_numpy_oracle(edges, n, weights=w)
+    for mode in ["join", "blocks", "coloc", "broadcast"]:
+        ranks, _ = pagerank(e, vertices=v, tol=1e-6, mode=mode, weight="w")
+        got = ranks.toPandas().sort_values("id")["rank"].values
+        assert np.allclose(got, oracle, atol=1e-6), (name, mode)
+
+
+def test_weighted_pagerank_uniform_weights_match_unweighted(spark):
+    edges = random_digraph(50, 120, 7)
+    e = spark.createDataFrame(
+        pd.DataFrame({"s": edges[:, 0], "t": edges[:, 1], "w": 3.0})
+    )
+    v = spark.createDataFrame(pd.DataFrame({"id": np.arange(50)}))
+    rw, _ = pagerank(e, vertices=v, tol=1e-6, weight="w")
+    ru, _ = pagerank(e, vertices=v, tol=1e-6)
+    got_w = rw.toPandas().sort_values("id")["rank"].values
+    got_u = ru.toPandas().sort_values("id")["rank"].values
+    assert np.allclose(got_w, got_u, atol=1e-9)
+
+
+def test_weighted_pagerank_rejects_nonpositive(spark):
+    e = spark.createDataFrame(pd.DataFrame({"s": [0, 1], "t": [1, 0], "w": [1.0, 0.0]}))
+    with pytest.raises(ValueError, match="positive"):
+        pagerank(e, weight="w")
+
+
 def test_pagerank_star_skew(spark):
     """Hub fixture: salted two-phase aggregation must not change results."""
     edges = star_graph(200)

@@ -60,3 +60,42 @@ def test_common_neighbor_pairs_values(spark):
     e = spark.createDataFrame([(0, 1), (1, 2)], "s long, t long")
     rows = {(r["a"], r["b"]): r["p"] for r in common_neighbor_pairs(e).collect()}
     assert rows == {(0, 2): 1}
+
+
+def test_max_middle_degree_capped_counts(spark):
+    """K_{2,m} double-star: hubs h1,h2 over m shared leaves -> C(m,2) exact
+    4-cycles. Capping middles at degree 2 drops every wedge THROUGH a hub,
+    so each cycle survives only via its leaf-middled diagonal (h1,h2):
+    half a cycle each -> C(m,2)/2. Documented lower bound, exact at cap >=
+    max degree; a cap also shrinks the wedge guard's pre-count."""
+    m = 5
+    h1, h2 = 100, 200
+    edges = [(h1, i, ) for i in range(m)] + [(h2, i) for i in range(m)]
+    e = spark.createDataFrame([(a, b) for a, b in edges], "s long, t long")
+    exact = four_cycle_count(e).collect()[0]["n_four_cycles"]
+    assert exact == m * (m - 1) // 2  # C(m,2) = 10
+    capped = four_cycle_count(e, max_middle_degree=2).collect()[0]["n_four_cycles"]
+    assert capped == exact // 2  # one surviving diagonal per cycle
+    # undercount is one-sided and vanishes when the cap clears every degree
+    assert capped <= exact
+    full = four_cycle_count(e, max_middle_degree=m).collect()[0]["n_four_cycles"]
+    assert full == exact
+    # pair table mirrors it: (h1,h2) keeps p=m leaf middles; leaf pairs
+    # lose their hub middles entirely
+    pairs = {
+        (r["a"], r["b"]): r["p"]
+        for r in common_neighbor_pairs(e, max_middle_degree=2).collect()
+    }
+    assert pairs == {(h1, h2): m}
+
+
+def test_max_middle_degree_admits_guarded_graph(spark):
+    """A graph whose raw wedge count trips max_wedges passes once hub
+    middles are capped — the error message's guidance is actionable."""
+    e = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in star_graph(30)], "s long, t long"
+    )
+    with pytest.raises(ValueError, match="max_middle_degree"):
+        four_cycle_count(e, max_wedges=100).collect()
+    got = four_cycle_count(e, max_wedges=100, max_middle_degree=5).collect()
+    assert got[0]["n_four_cycles"] == 0

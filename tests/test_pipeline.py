@@ -341,3 +341,22 @@ def test_line_exact_dedup_first_occurrence_canonical(spark):
     keepers = [r["doc_id"] for r in out if r["text"].startswith("dup line")]
     assert keepers == [1]  # the smallest doc_id keeps the shared line
     assert all(r["n_kept"] == (2 if r["doc_id"] == 1 else 1) for r in out)
+
+
+def test_embedding_neardup_empty_input(spark):
+    """Empty embedding input must yield an empty result on EVERY path — the
+    dim probe (first()) returns None on empty input, which previously raised
+    an opaque TypeError for the seeded-planes path and regressed the
+    explicit-planes path (which never needed the probe)."""
+    from deepgraph_spark.pipeline.dedup import _hyperplane_buckets
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert embedding_neardup_pairs(empty, threshold=0.9, method="lsh").count() == 0
+    # explicit planes: dim check is probe-dependent, must also short-circuit
+    planes = np.ones((2, 3, 8))
+    got = _hyperplane_buckets(
+        empty, vec_col="embedding", id_col="vec_id",
+        n_planes=3, n_tables=2, seed=7, planes=planes,
+    )
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == ["vid", "table", "bucket"]

@@ -56,6 +56,43 @@ def test_sssp_parallel_edges_take_min(spark):
     assert _run(spark, wedges, [0])[1] == 2.0
 
 
+@pytest.mark.parametrize("seed,n,m,budget", [(0, 25, 60, 80.0), (3, 40, 120, 50.0)])
+def test_sssp_max_dist_equals_postfilter(spark, seed, n, m, budget):
+    # in-loop budget pruning must be EXACT: same vertices and distances as
+    # running unbounded and filtering dist <= budget afterwards
+    wedges = _weighted(random_digraph(n, m, seed=seed), seed)
+    sources = [0, n // 2]
+    full = _run(spark, wedges, sources)
+    pruned = _run(spark, wedges, sources, max_dist=budget)
+    want = {v: d for v, d in full.items() if d <= budget}
+    assert dict(pruned) == pytest.approx(want)
+
+
+def test_sssp_max_dist_zero_keeps_seeds(spark):
+    got = _run(spark, [(0, 1, 1.0), (1, 2, 1.0)], [0], max_dist=0.0)
+    assert dict(got) == {0: 0.0}
+
+
+def test_sssp_max_dist_negative_raises(spark):
+    with pytest.raises(ValueError, match="max_dist"):
+        _run(spark, [(0, 1, 1.0)], [0], max_dist=-1.0)
+
+
+def test_ego_net_weighted_budget_ball(spark):
+    # star-with-tails: seed 0; budget 2.5 reaches {0,1,2 (1+1), 3 (2)} but
+    # not 4 (1+1+5); induced edges only among the kept set
+    from deepgraph_spark.core import DeepGraphFrame
+
+    wedges = [(0, 1, 1.0), (1, 2, 1.0), (0, 3, 2.0), (2, 4, 5.0), (3, 2, 1.0)]
+    v = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    e = spark.createDataFrame(wedges, "s long, t long, w double")
+    g = DeepGraphFrame(v, e, index_col="id").ego_net_weighted([0], 2.5)
+    dists = {r["id"]: r["dist"] for r in g.v.collect()}
+    assert dists == {0: 0.0, 1: 1.0, 2: 2.0, 3: 2.0}
+    kept = {(r["s"], r["t"]) for r in g.e.collect()}
+    assert kept == {(0, 1), (1, 2), (0, 3), (3, 2)}
+
+
 def test_sssp_rejects_negative_weights(spark):
     with pytest.raises(ValueError, match="non-negative"):
         _run(spark, [(0, 1, -1.0)], [0])

@@ -239,3 +239,40 @@ def test_stream_topk_multibatch_state_accumulates(spark, tmp_path):
     assert got[(1, 1)] == ("b", 4)
     assert got[(1, 2)] == ("a", 2)
     assert got[(2, 1)] == ("x", 2)
+
+
+def test_stream_topk_null_items_filtered(spark, tmp_path):
+    """Null items are dropped BEFORE the stateful stage and n_seen counts
+    only non-null rows — previously value_counts() silently dropped nulls
+    from the ranking while n_seen still counted them, so the engine and a
+    GROUP BY oracle (which keeps a NULL group) disagreed on null-bearing
+    data. The documented semantics: filtered, oracle adds IS NOT NULL."""
+    from deepgraph_spark.streaming import stream_topk
+
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    b1 = spark.createDataFrame(
+        [(1, "a"), (1, None), (1, "a"), (1, None), (1, "b"), (2, None)],
+        "user_id long, event_type string",
+    )
+    b1.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(b1.schema).parquet(src)
+    q = (
+        stream_topk(stream, key_col="user_id", item_col="event_type", k=3)
+        .writeStream.format("memory")
+        .queryName("topk_nulls")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .outputMode("update")
+        .start()
+    )
+    assert q.awaitTermination(120)
+    sink = spark.table("topk_nulls").toPandas()
+    # key 2 had ONLY null items -> no state, no emission at all
+    assert (sink["key"] == 2).sum() == 0
+    u1 = sink[sink["key"] == 1]
+    # n_seen counts the 3 non-null rows, not the 5 raw rows
+    assert set(u1["n_seen"]) == {3}
+    assert u1["item"].notna().all()
+    got = {r["rank"]: (r["item"], r["cnt"]) for _, r in u1.iterrows()}
+    assert got == {1: ("a", 2), 2: ("b", 1)}

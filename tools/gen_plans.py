@@ -108,27 +108,38 @@ convergence off the same count() that materializes the round."""))
 _scc_e = _kc_e.selectExpr("s as a", "t as b").distinct().localCheckpoint(eager=True)
 _scc_v = _scc_e.select(F.col("a").alias("id")).union(_scc_e.select("b")).distinct()
 _scc_lab = _scc_v.select("id", F.col("id").alias("flab"), F.col("id").alias("glab")).localCheckpoint(eager=True)
-_scc_fn = (_scc_e.join(_scc_lab.select(F.col("id").alias("a"), F.col("flab").alias("nf")), "a")
-           .groupBy(F.col("b").alias("id")).agg(F.min("nf").alias("nf")))
-_scc_gn = (_scc_e.join(_scc_lab.select(F.col("id").alias("b"), F.col("glab").alias("ng")), "b")
-           .groupBy(F.col("a").alias("id")).agg(F.min("ng").alias("ng")))
-_scc_new = (_scc_lab.join(_scc_fn, "id", "left").join(_scc_gn, "id", "left")
+_scc_msg = (_scc_e.select(F.col("a").alias("u"), F.col("b").alias("v"), F.lit(True).alias("isf"))
+            .union(_scc_e.select(F.col("b"), F.col("a"), F.lit(False))))
+_scc_nbr = (_scc_msg.join(_scc_lab.select(F.col("id").alias("u"), "flab", "glab"), "u")
+            .select("v", "isf",
+                    F.when(F.col("isf"), F.col("flab")).otherwise(F.col("glab")).alias("val"))
+            .groupBy(F.col("v").alias("id"))
+            .agg(F.min(F.when(F.col("isf"), F.col("val"))).alias("nf"),
+                 F.min(F.when(~F.col("isf"), F.col("val"))).alias("ng")))
+_scc_new = (_scc_lab.join(_scc_nbr, "id", "left")
             .select("id",
                     F.least("flab", F.coalesce("nf", "flab")).alias("flab"),
                     F.least("glab", F.coalesce("ng", "glab")).alias("glab")))
-sections.append(("SCC label superstep (joint min-ancestor/min-descendant relaxation)", cap(_scc_new),
-"""One superstep of the reachability-labeling SCC kernel (plain form shown):
-both directions' min-label aggregates run off the same checkpointed (a, b)
-edge set and the same label state, fused into ONE plan/action — two keyed
-aggregations plus two left joins on long ids, hash-partitioned end to end,
-no Python anywhere. The runtime loop (algorithms/scc.py) localCheckpoints
-each superstep and reads convergence off the materializing signature
-aggregate. The accelerated mode adds two pointer-jump joins (O(log
-diameter) supersteps, measured 12x on a 200-hop band graph) with periodic
-parquet barriers — required because Spark 4's driver-side work on iterated
-self-joins of the label state otherwise grows exponentially from ~iteration
-7-11; only a file-scan-rooted plan resets it (measured; see _min_labels_fg
-docstring)."""))
+sections.append(("SCC label superstep (fused min-ancestor/min-descendant relaxation)", cap(_scc_new),
+"""One superstep of the reachability-labeling SCC kernel: both directions'
+min-label passes are FUSED — a tagged union doubles the edge stream (f flows
+a->b, g flows b->a), ONE keyed join brings in both labels, and ONE pivoted
+min-aggregation (min over the isf slice, min over the complement) produces
+both neighbor minima; a single left join folds them into the state. Compared
+with separate fnbr/gnbr joins this halves the per-superstep stage count —
+the dominant cost at small active sizes is per-stage dispatch, not rows —
+and stays hash-partitioned end to end, no Python anywhere. The runtime loop
+(algorithms/scc.py) localCheckpoints each superstep and reads convergence
+off the change count computed in the SAME materializing action. The
+accelerated mode adds a fused pointer-jump (same tagged-union shape over the
+label pointers) with periodic parquet barriers — required because Spark 4's
+driver-side work on iterated self-joins of the label state otherwise grows
+exponentially from ~iteration 7-11; only a file-scan-rooted plan resets it
+(measured; see _min_labels_fg docstring). The barrier interval counts jump
+supersteps and CARRIES ACROSS outer rounds (the pathology does), so
+fast-converging rounds skip the per-round parquet round-trip; the bench
+sweep (AB_R6_SET2.json) pins interval 5 as the optimum — 8/10 re-enter the
+super-linear regime and lose to MORE frequent barriers."""))
 
 # bfs frontier round over the same edges
 _bfs_front = _scc_v.limit(50)
