@@ -69,6 +69,7 @@ def _min_labels_fg(
     barrier_dir: str | None = None,
     barrier_every: int = _BARRIER_EVERY,
     jumps_done: int = 0,
+    e_materialized: bool = False,
 ) -> tuple[DataFrame, int]:
     """Joint fixed point of both reachability labels, ONE action per
     superstep (they are independent, so fusing them halves the job count):
@@ -113,8 +114,12 @@ def _min_labels_fg(
     # the active edge set usually arrives as a LAZY semi-join/filter chain
     # (trim restriction, class restriction) — materialize it once so the
     # per-superstep scans read flat cached blocks instead of re-running the
-    # restriction joins twice per superstep
-    e = e.localCheckpoint(eager=True)
+    # restriction joins twice per superstep; when the caller already hands
+    # over checkpointed blocks (``e_materialized``: an untrimmed round's
+    # state, see _outer_loop), the extra copy would just burn one job
+    own_e = not e_materialized
+    if own_e:
+        e = e.localCheckpoint(eager=True)
 
     prev_state = None
     prev_barrier: str | None = None
@@ -216,7 +221,8 @@ def _min_labels_fg(
                 f"_min_labels_fg did not converge in {max_iter} supersteps — raise max_label_iter"
             )
     finally:
-        e.unpersist()
+        if own_e:  # never release blocks the caller's round state still owns
+            e.unpersist()
     return lab, jumps_done
 
 
@@ -230,6 +236,7 @@ def strongly_connected_components(
     max_outer: int = 50,
     max_label_iter: int = 100,
     trim_iter: int = 4,
+    trim_rounds: int = 1,
     serial_tail_threshold: int = 50_000,
     barrier_every: int = _BARRIER_EVERY,
     trim_min_frac: float = 0.1,
@@ -253,7 +260,13 @@ def strongly_connected_components(
     trim iteration is one degree aggregation, far cheaper than a label
     fixed point; 0 disables trimming. ``trim_min_frac`` stops the pre-pass
     early once an iteration peels less than that fraction of the active set
-    (the leftovers are the label loop's job anyway).
+    (the leftovers are the label loop's job anyway). ``trim_rounds`` caps
+    how many OUTER rounds run the trim phase (default 1: a pre-pass, which
+    is where Slota et al. place it — later refinement rounds measured
+    0.5-0.6 s of degree aggregations for near-zero peels on transcript
+    graphs); the serial-tail cutover stays armed in untrimmed rounds via
+    the carried remainder count, and correctness never depends on trim
+    (the label loop extracts every SCC exactly).
 
     ``serial_tail_threshold``: when the post-trim active remainder has at
     most this many vertices (and ≤ 20 edges per vertex), it is collected
@@ -353,7 +366,7 @@ def strongly_connected_components(
         assigned, e, v, done = _outer_loop(
             ckpt, v, e, assigned, start_iter, max_outer, max_label_iter,
             barrier_root, done, trim_iter, serial_tail_threshold,
-            barrier_every, trim_min_frac,
+            barrier_every, trim_min_frac, trim_rounds,
         )
 
         if not done and _nonempty(v):
@@ -509,7 +522,8 @@ def _tarjan_min_labels(edges: list[tuple[int, int]]) -> dict[int, int]:
 
 def _outer_loop(ckpt, v, e, assigned, start_iter, max_outer, max_label_iter,
                 barrier_root, done, trim_iter=4, serial_tail_threshold=50_000,
-                barrier_every=_BARRIER_EVERY, trim_min_frac=0.1):
+                barrier_every=_BARRIER_EVERY, trim_min_frac=0.1,
+                trim_rounds=1):
     """(f,g)-class refinement rounds; returns (assigned, e, v, done)."""
     prev_round_state = None  # last round's materialized state, freed once superseded
     pending_release = []  # handles a LAZY round state still reads; freed next round
@@ -520,6 +534,7 @@ def _outer_loop(ckpt, v, e, assigned, start_iter, max_outer, max_label_iter,
     # WITHOUT a parquet round-trip per outer round (measured: the per-round
     # round-trip dominated small-remainder rounds)
     jumps = 0
+    prev_n_rest = None  # remainder count carried from the last state block
     for k in range(start_iter, max_outer):
         t_round = time.time()
         barrier_dir = None
@@ -528,7 +543,8 @@ def _outer_loop(ckpt, v, e, assigned, start_iter, max_outer, max_label_iter,
 
         lbl = None
         keeps = []
-        if trim_iter > 0:
+        trimmed = trim_iter > 0 and k < trim_rounds
+        if trimmed:
             v, e, peeled, n_active, keeps = _trim(
                 v, e, max_iter=trim_iter, stop_below=serial_tail_threshold,
                 min_frac=trim_min_frac,
@@ -538,7 +554,12 @@ def _outer_loop(ckpt, v, e, assigned, start_iter, max_outer, max_label_iter,
             if _DEBUG:
                 print(f"[scc] round {k} trim phase: {time.time() - t_round:.2f}s")
         else:
-            n_active = None
+            # trim is a PRE-pass (Slota Multistep runs it once up front, not
+            # per refinement round — a measured 0.5-0.6 s/round of degree
+            # aggregations for near-zero peels on later-round graphs); the
+            # serial-tail cutover still sees the active size via the carried
+            # remainder count from the previous round's state block
+            n_active = prev_n_rest
 
         if n_active is not None and 0 < n_active <= serial_tail_threshold:
             # Multistep's serial cutover: the active remainder is small —
@@ -577,6 +598,10 @@ def _outer_loop(ckpt, v, e, assigned, start_iter, max_outer, max_label_iter,
             lbl, jumps = _min_labels_fg(
                 v, e, max_iter=max_label_iter, barrier_dir=barrier_dir,
                 barrier_every=barrier_every, jumps_done=jumps,
+                # untrimmed rounds after the first hand over this loop's own
+                # localCheckpointed round state — already flat blocks, no
+                # restriction chain to pin, so skip the inner re-checkpoint
+                e_materialized=(not trimmed and not ckpt.enabled and k > start_iter),
             )
             extracted = lbl.where(F.col("flab") == F.col("glab")).select(
                 "id", F.col("flab").alias("cp_raw")
@@ -670,6 +695,7 @@ def _outer_loop(ckpt, v, e, assigned, start_iter, max_outer, max_label_iter,
             prev_round_state or []
         )
         prev_round_state = round_handles
+        prev_n_rest = n_rest
         ckpt.update_metrics(k, {"active": int(n_rest), "converged": n_rest == 0})
         if _DEBUG:
             print(f"[scc] round {k} total: {time.time() - t_round:.2f}s (rest={n_rest})")
