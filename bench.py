@@ -51,6 +51,7 @@ EXCLUDE_FROM_TOTAL = {
     "sssp_events",
     "four_cycles_events",
     "line_dedup",
+    "strip_dup_spans",
 }
 
 
@@ -235,7 +236,12 @@ def group_docs() -> dict:
     from pyspark.sql import functions as F
 
     from deepgraph_spark.entry_queries import q_ngram_jaccard_documents
-    from deepgraph_spark.pipeline import decontaminate, minhash_lsh_dedup, pack_shards
+    from deepgraph_spark.pipeline import (
+        decontaminate,
+        minhash_lsh_dedup,
+        pack_shards,
+        strip_duplicate_spans,
+    )
 
     spark = _session("docs")
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
@@ -259,6 +265,9 @@ def group_docs() -> dict:
             lambda: pack_shards(
                 docs.select("doc_id", "text"), budget=2000, order_by=["doc_id"]
             ).count()
+        ),
+        "strip_dup_spans": _repeat(
+            lambda: strip_duplicate_spans(docs, window=8).count()
         ),
     }
     return {"times": times, "extra": {}}

@@ -27,14 +27,36 @@ def label_propagation(
     checkpoint_dir: str | None = None,
     job_id: str = "lpa",
     resume: bool = True,
+    weight: str | None = None,
 ) -> DataFrame:
-    """Returns ``(id, label)``."""
+    """Returns ``(id, label)``.
+
+    ``weight``: edge-weight column → weighted LPA: each vertex adopts the
+    label with the largest TOTAL incoming weight (ties still break on the
+    smaller label, keeping the partitioning-invariance property). The
+    symmetrized edge view sums weights over parallel/bidirectional
+    duplicates (deterministic — integer-valued weights sum exactly in
+    double far below 2^53, which is what the driver gate feeds it). The
+    superstep plan shape is unchanged: the vote aggregation sums ``w``
+    instead of counting rows."""
     spark = edges.sparkSession
     ckpt = SuperstepCheckpoint(spark, checkpoint_dir, job_id)
 
-    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
-        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
-    ).distinct().persist()
+    if weight is None:
+        sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        ).distinct().persist()
+        vote = F.count(F.lit(1))
+    else:
+        wc = F.col(weight).cast("double").alias("w")
+        sym = (
+            edges.select(F.col(src).alias("u"), F.col(dst).alias("v"), wc)
+            .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v"), wc))
+            .groupBy("u", "v")
+            .agg(F.sum("w").alias("w"))
+            .persist()
+        )
+        vote = F.sum("w")
 
     if vertices is not None:
         verts = vertices.select(F.col(vertices.columns[0]).alias("id")).distinct()
@@ -56,8 +78,8 @@ def label_propagation(
     for k in range(start_iter, max_iter):
         nbr_labels = sym.join(
             labels.select(F.col("id").alias("v"), "label"), "v"
-        ).select(F.col("u").alias("id"), "label")
-        counts = nbr_labels.groupBy("id", "label").agg(F.count(F.lit(1)).alias("cnt"))
+        ).select(F.col("u").alias("id"), "label", *(["w"] if weight else []))
+        counts = nbr_labels.groupBy("id", "label").agg(vote.alias("cnt"))
         w = Window.partitionBy("id").orderBy(F.desc("cnt"), F.asc("label"))
         best = counts.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).select(
             "id", F.col("label").alias("new_label")

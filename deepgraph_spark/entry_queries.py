@@ -411,6 +411,24 @@ def q_lpa_events(spark, sf_dir):
     )
 
 
+def q_weighted_lpa_events(spark, sf_dir):
+    """Weighted label propagation: votes sum edge weight instead of counting
+    rows (integer-µs deltas + 1 — exactly representable, so both engines sum
+    identical doubles); ties still break on the smaller label."""
+    from deepgraph_spark.algorithms import label_propagation
+
+    e = event_edges(spark, sf_dir).select(
+        "s",
+        "t",
+        (F.round(F.col("ft_r") * 1e6, 0).cast("long") + F.lit(1)).alias("wt"),
+    )
+    verts = _t(spark, sf_dir, "events").select(F.col("event_id").alias("id"))
+    out = label_propagation(e, vertices=verts, max_iter=LPA_ITERS, weight="wt")
+    return out.select(
+        F.col("id").cast("long").alias("id"), F.col("label").cast("long").alias("label")
+    )
+
+
 def q_sessionize_events(spark, sf_dir):
     """Window-function sessionization: new session when the per-user gap
     exceeds 30 min (SURVEY.md §2 'built-in' coverage: window functions)."""
@@ -742,6 +760,35 @@ def q_kcore_events(spark, sf_dir):
             f"{KCORE_ORACLE_ROUNDS}; raise KCORE_ORACLE_ROUNDS"
         )
     return members.select(F.col("id").cast("long").alias("id"))
+
+
+def q_dup_span_stats_documents(spark, sf_dir):
+    """Cross-document duplicate-span accounting (ExactSubstr-style, Lee et
+    al.): per doc, tokens inside maximal merged runs of 8-token windows that
+    occur verbatim in >= 2 documents. Hash-keyed dup detection + per-doc
+    window-function interval merge, all JVM."""
+    from deepgraph_spark.pipeline import dup_span_stats
+
+    out = dup_span_stats(_t(spark, sf_dir, "documents"), window=8)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("dup_tokens").cast("long").alias("dup_tokens"),
+        F.round("dup_frac", 6).alias("dup_frac"),
+    )
+
+
+def q_strip_dup_spans_documents(spark, sf_dir):
+    """Duplicate-span REMOVAL with canonical-keeper semantics: drop tokens
+    covered only by non-canonical duplicated windows (canonical = min
+    (doc_id, start) per window hash), keep everything else; one row per doc
+    with the surviving tokens space-joined. String-valued gate: proves the
+    window hashing, canonical election, coverage logic, and rebuild order
+    end to end against the SQL mirror."""
+    from deepgraph_spark.pipeline import strip_duplicate_spans
+
+    out = strip_duplicate_spans(_t(spark, sf_dir, "documents"), window=8)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
 
 
 def q_repetition_stats_documents(spark, sf_dir):
@@ -1349,6 +1396,40 @@ def _lpa_oracle_sql(iters: int = LPA_ITERS) -> str:
     return "".join(parts)
 
 
+def _weighted_lpa_oracle_sql(iters: int = LPA_ITERS) -> str:
+    """Unrolled weighted LPA: the symmetrized view sums weights over
+    duplicate (u, v) pairs (mirroring the engine's groupBy-sum), votes sum
+    CAST(wt AS DOUBLE) — integer-valued, so the sums are order-independent
+    and bit-exact on both engines; ties -> smaller label."""
+    parts = [
+        f"""
+        WITH e AS MATERIALIZED (SELECT s, t,
+                CAST(CAST(ROUND(ft_r * 1000000.0, 0) AS BIGINT) + 1 AS DOUBLE) AS wt
+                FROM ({EVENT_EDGES_SQL})),
+        sym AS MATERIALIZED (SELECT u, v, SUM(wt) AS w FROM (
+                SELECT s AS u, t AS v, wt FROM e
+                UNION ALL SELECT t, s, wt FROM e) GROUP BY u, v),
+        verts AS MATERIALIZED (SELECT event_id AS id FROM events),
+        l0 AS MATERIALIZED (SELECT id, id AS label FROM verts)"""
+    ]
+    for k in range(iters):
+        parts.append(
+            f""",
+        cnt{k} AS MATERIALIZED (SELECT s.u AS id, l.label, SUM(s.w) AS c
+                   FROM sym s JOIN l{k} l ON l.id = s.v GROUP BY s.u, l.label),
+        b{k} AS MATERIALIZED (SELECT id, label FROM (
+                    SELECT id, label,
+                           ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, label ASC) AS rn
+                    FROM cnt{k}) WHERE rn = 1),
+        l{k + 1} AS MATERIALIZED (SELECT l.id, COALESCE(b.label, l.label) AS label
+                     FROM l{k} l LEFT JOIN b{k} b ON b.id = l.id)"""
+        )
+    parts.append(
+        f"\n        SELECT CAST(id AS BIGINT) AS id, CAST(label AS BIGINT) AS label FROM l{iters}"
+    )
+    return "".join(parts)
+
+
 def _ppr_oracle_sql(iters: int = PR_ITERS, d: float = 0.85) -> str:
     """Unrolled personalized power iteration: teleport + dangling mass land
     on the pv distribution (uniform over event_id % 50 == 0), mirroring the
@@ -1426,6 +1507,7 @@ ORACLES["pagerank_events"] = _pagerank_oracle_sql()
 ORACLES["ppr_events"] = _ppr_oracle_sql()
 ORACLES["weighted_pagerank_events"] = _weighted_pagerank_oracle_sql()
 ORACLES["lpa_events"] = _lpa_oracle_sql()
+ORACLES["weighted_lpa_events"] = _weighted_lpa_oracle_sql()
 
 
 def _minhash_oracle_sql(
@@ -1647,6 +1729,88 @@ def _kcore_oracle_sql(k: int = 2, rounds: int = KCORE_ORACLE_ROUNDS) -> str:
 ORACLES["kcore_events"] = _kcore_oracle_sql()
 ORACLES["ann_lsh_embeddings"] = _ann_lsh_oracle_sql()
 
+_SPAN_W = 8
+
+ORACLES["dup_span_stats_documents"] = f"""
+    WITH d AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+    ),
+    w AS (
+        SELECT doc_id, j AS start,
+               ('0x' || substr(md5(array_to_string(
+                    list_slice(toks, j + 1, j + {_SPAN_W}), ' ')), 1, 15))::BIGINT AS gh
+        FROM d, LATERAL unnest(range(len(toks) - {_SPAN_W - 1})) AS t(j)
+        WHERE len(toks) >= {_SPAN_W}
+    ),
+    dup AS (SELECT gh FROM w GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2),
+    occ AS (SELECT doc_id, start FROM w SEMI JOIN dup USING (gh)),
+    m AS (
+        SELECT doc_id, start,
+               CASE WHEN start > COALESCE(MAX(start + {_SPAN_W}) OVER (
+                        PARTITION BY doc_id ORDER BY start
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                    THEN 1 ELSE 0 END AS ns
+        FROM occ
+    ),
+    g AS (
+        SELECT doc_id, start,
+               SUM(ns) OVER (PARTITION BY doc_id ORDER BY start
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        FROM m
+    ),
+    sp AS (SELECT doc_id, grp, MIN(start) AS s, MAX(start) + {_SPAN_W} AS e
+           FROM g GROUP BY doc_id, grp),
+    per AS (SELECT doc_id, SUM(e - s) AS dup_tokens FROM sp GROUP BY doc_id)
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           CAST(len(d.toks) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(per.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           ROUND(CAST(COALESCE(per.dup_tokens, 0) AS DOUBLE) / len(d.toks), 6) AS dup_frac
+    FROM d LEFT JOIN per ON per.doc_id = d.doc_id
+"""
+
+ORACLES["strip_dup_spans_documents"] = f"""
+    WITH d AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+    ),
+    w AS (
+        SELECT doc_id, j AS start,
+               ('0x' || substr(md5(array_to_string(
+                    list_slice(toks, j + 1, j + {_SPAN_W}), ' ')), 1, 15))::BIGINT AS gh
+        FROM d, LATERAL unnest(range(len(toks) - {_SPAN_W - 1})) AS t(j)
+        WHERE len(toks) >= {_SPAN_W}
+    ),
+    dup AS (SELECT gh FROM w GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2),
+    occ AS (SELECT w.doc_id, w.start, w.gh FROM w SEMI JOIN dup USING (gh)),
+    oc2 AS (
+        SELECT doc_id, start,
+               ROW_NUMBER() OVER (PARTITION BY gh ORDER BY doc_id, start) = 1 AS is_canon
+        FROM occ
+    ),
+    cov AS (
+        SELECT doc_id, start + k AS p, is_canon
+        FROM oc2, LATERAL unnest(range({_SPAN_W})) AS u(k)
+    ),
+    cv AS (
+        SELECT doc_id, p,
+               MAX(CASE WHEN is_canon THEN 1 ELSE 0 END) AS canon_cov,
+               MAX(CASE WHEN is_canon THEN 0 ELSE 1 END) AS other_cov
+        FROM cov GROUP BY doc_id, p
+    ),
+    pos AS (
+        SELECT doc_id, p, toks[p + 1] AS tok
+        FROM d, LATERAL unnest(range(len(toks))) AS u(p)
+    ),
+    kept AS (
+        SELECT pos.doc_id, pos.p, pos.tok
+        FROM pos LEFT JOIN cv ON cv.doc_id = pos.doc_id AND cv.p = pos.p
+        WHERE NOT COALESCE(cv.other_cov = 1 AND cv.canon_cov = 0, FALSE)
+    ),
+    agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text
+            FROM kept GROUP BY doc_id)
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id, COALESCE(agg.text, '') AS text
+    FROM d LEFT JOIN agg ON agg.doc_id = d.doc_id
+"""
+
 ORACLES["repetition_stats_documents"] = """
     WITH d AS (
         SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
@@ -1851,6 +2015,7 @@ QUERIES = {
     "pagerank_events": q_pagerank_events,
     "ppr_events": q_ppr_events,
     "lpa_events": q_lpa_events,
+    "weighted_lpa_events": q_weighted_lpa_events,
     "exact_dedup_documents": q_exact_dedup_documents,
     "line_dedup_documents": q_line_dedup_documents,
     "ngram_jaccard_documents": q_ngram_jaccard_documents,
@@ -1868,6 +2033,8 @@ QUERIES = {
     "ann_lsh_embeddings": q_ann_lsh_embeddings,
     "kcore_events": q_kcore_events,
     "repetition_stats_documents": q_repetition_stats_documents,
+    "dup_span_stats_documents": q_dup_span_stats_documents,
+    "strip_dup_spans_documents": q_strip_dup_spans_documents,
     "corpus_ngram_topk_documents": q_corpus_ngram_topk_documents,
     "stream_band_edges_events": q_stream_band_edges_events,
     "stream_sessionize_events": q_stream_sessionize_events,

@@ -23,6 +23,11 @@ from deepgraph_spark.pipeline.similarity import (
     ann_topk_ivf,
     ann_topk_lsh,
 )
+from deepgraph_spark.pipeline.spandedup import (
+    dup_span_stats,
+    duplicate_spans,
+    strip_duplicate_spans,
+)
 from deepgraph_spark.pipeline.textstats import (
     corpus_ngram_topk,
     doc_fingerprints,
@@ -53,4 +58,7 @@ __all__ = [
     "hash_split",
     "pack_shards",
     "redact_pii",
+    "duplicate_spans",
+    "dup_span_stats",
+    "strip_duplicate_spans",
 ]

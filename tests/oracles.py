@@ -217,3 +217,31 @@ def sssp_oracle(wedges, n: int, sources, directed: bool = True) -> np.ndarray:
         if not changed:
             break
     return dist
+
+
+def weighted_lpa_oracle(edges, weights, n: int, iters: int = 10) -> np.ndarray:
+    """Weighted synchronous LPA: votes sum symmetrized edge weight (parallel
+    /bidirectional duplicates accumulate), ties -> smaller label."""
+    w: dict = {}
+    for (a, b), wt in zip(edges, weights):
+        a, b = int(a), int(b)
+        if a != b:
+            w[(a, b)] = w.get((a, b), 0.0) + float(wt)
+            w[(b, a)] = w.get((b, a), 0.0) + float(wt)
+    nbrs = [[] for _ in range(n)]
+    for (a, b), wt in w.items():
+        nbrs[a].append((b, wt))
+    lab = np.arange(n)
+    for _ in range(iters):
+        new = lab.copy()
+        for v in range(n):
+            if not nbrs[v]:
+                continue
+            cnt: dict = {}
+            for u, wt in nbrs[v]:
+                cnt[lab[u]] = cnt.get(lab[u], 0.0) + wt
+            new[v] = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if (new == lab).all():
+            break
+        lab = new
+    return lab

@@ -295,3 +295,46 @@ def test_personalized_pagerank_validates(spark):
     ghost = spark.createDataFrame(pd.DataFrame({"id": [10**9]}))
     with pytest.raises(ValueError, match="no graph vertices"):
         pagerank(e, vertices=v, teleport=ghost)
+
+
+@pytest.mark.parametrize("name,n,m,seed", GRAPHS)
+def test_weighted_lpa_parity(spark, name, n, m, seed):
+    """weight= sums votes by edge weight; integer weights keep both sides
+    exact, ties break on the smaller label as in the unweighted walk."""
+    from oracles import weighted_lpa_oracle
+
+    edges = random_digraph(n, m, seed)
+    rng = np.random.default_rng(seed + 7)
+    w = rng.integers(1, 20, size=len(edges)).astype(float)
+    e = spark.createDataFrame(
+        pd.DataFrame({"s": edges[:, 0], "t": edges[:, 1], "w": w})
+    )
+    v = spark.createDataFrame(pd.DataFrame({"id": np.arange(n)}))
+    expected = weighted_lpa_oracle(edges, w, n, iters=5)
+    got = (
+        label_propagation(e, vertices=v, max_iter=5, weight="w")
+        .toPandas()
+        .sort_values("id")["label"]
+        .values
+    )
+    assert (got == expected).all(), name
+
+
+def test_weighted_lpa_uniform_weights_match_unweighted(spark):
+    # a<b only: reciprocal pairs legitimately diverge (distinct-dedup vs
+    # weight-sum symmetrization), uniform equivalence holds on simple graphs
+    edges = random_digraph(40, 100, 11)
+    edges = edges[edges[:, 0] < edges[:, 1]]
+    e = spark.createDataFrame(
+        pd.DataFrame({"s": edges[:, 0], "t": edges[:, 1], "w": 2.0})
+    )
+    v = spark.createDataFrame(pd.DataFrame({"id": np.arange(40)}))
+    got_w = (
+        label_propagation(e, vertices=v, max_iter=5, weight="w")
+        .toPandas().sort_values("id")["label"].values
+    )
+    got_u = (
+        label_propagation(e, vertices=v, max_iter=5)
+        .toPandas().sort_values("id")["label"].values
+    )
+    assert (got_w == got_u).all()

@@ -174,3 +174,15 @@ def test_trim_degree_pass_no_single_partition(spark, docs):
     )
     p = plan_of(deg.where((F.col("od") > 0) & (F.col("idg") > 0)))
     assert "SinglePartition" not in p, p
+
+
+def test_dup_spans_windows_are_doc_partitioned(spark, docs):
+    """Span-dedup interval merge: every window function partitions by
+    document (never a global/SinglePartition window), and the strip rebuild
+    groups by document."""
+    from deepgraph_spark.pipeline import dup_span_stats, strip_duplicate_spans
+
+    p = plan_of(dup_span_stats(docs, window=8))
+    assert "SinglePartition" not in p, p
+    p2 = plan_of(strip_duplicate_spans(docs, window=8))
+    assert "SinglePartition" not in p2, p2

@@ -56,8 +56,21 @@ def main():
         "pagerank_scaling_efficiency_band": [min(effs), max(effs)],
         "levels_per_repeat": [r["levels"] for r in runs],
     }
-    with open(os.path.join(ROOT, "BENCH_SCALING.json"), "w") as f:
-        json.dump(out, f, indent=2)
+    # BENCH_SCALING.json is a two-key artifact {strong, weak} (round-4
+    # format): merge into the existing file so a strong refresh never
+    # clobbers the weak evidence or vice versa
+    path = os.path.join(ROOT, "BENCH_SCALING.json")
+    mode = "weak" if os.environ.get("SCALING_WEAK") else "strong"
+    try:
+        with open(path) as f:
+            existing = json.load(f)
+        if not ("strong" in existing or "weak" in existing):
+            existing = {}  # legacy flat file: start fresh
+    except (OSError, json.JSONDecodeError):
+        existing = {}
+    existing[mode] = out
+    with open(path, "w") as f:
+        json.dump(existing, f, indent=2)
     print(json.dumps({
         "median": out["pagerank_scaling_efficiency_median"],
         "band": out["pagerank_scaling_efficiency_band"],
