@@ -78,6 +78,16 @@ sections.append(("Winnowing fingerprints (k-gram hash + window-min)", cap(doc_fi
 (PARTITION BY doc ORDER BY pos ROWS 4) — a partitioned window (one exchange
 on doc_id), never a global sort; distinct closes the plan."""))
 
+from deepgraph_spark.pipeline import strip_duplicate_spans
+sections.append(("Duplicate-span strip (window hashes -> canonical keeper -> rebuild)", cap(strip_duplicate_spans(docs, window=8)),
+"""ExactSubstr-style span dedup: sliding 8-token window hashes (sequence/
+slice/md5, all JVM) aggregate by hash with map-side combine — only
+(doc_id, start, hash) longs shuffle, and repeated boilerplate SHRINKS its
+own shuffle volume; duplicated hashes elect a canonical (min doc_id, start)
+occurrence via a min-struct aggregate; coverage explodes 8 positions per
+DUPLICATED occurrence only; the rebuild groups by document (array_sort over
+collected (pos, token) structs — no global window, no UDF anywhere)."""))
+
 emb = spark.read.parquet(f"{SF}/embeddings.parquet")
 from deepgraph_spark.pipeline import ann_topk_ivf
 sections.append(("IVF-flat ANN (coarse buckets + nprobe scan + exact verify)", cap(
