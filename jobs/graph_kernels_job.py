@@ -19,7 +19,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--turns", type=int, default=100_000)
     ap.add_argument("--tau", type=float, default=120.0)
-    ap.add_argument("--kernels", default="pagerank,cc,lpa,triangles")  # also: scc,kcore,bfs,sssp,c4,ego
+    ap.add_argument("--kernels", default="pagerank,cc,lpa,triangles")  # also: scc,kcore,bfs,sssp,c4,ego,wpagerank,wego
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument(
         "--max-label-iter", type=int, default=2000,
@@ -127,6 +127,21 @@ def main():
             "n_reached": d.count(),
             "max_dist": d.agg(F.max("dist")).collect()[0][0],
         }
+    if "wpagerank" in kernels:
+        # weighted walk: rank flows proportionally to the inter-turn delay
+        t0 = time.time()
+        we = g.e.select(
+            "s", "t", (F.round(F.col("dt_s") * 1e6, 0).cast("long") + F.lit(1)).alias("w")
+        ) if "dt_s" in g.e.columns else edges.withColumn("w", F.lit(1.0))
+        ranks, hist = pagerank(
+            we, vertices=verts, tol=1e-6, mode="join", weight="w",
+            checkpoint_dir=args.checkpoint, job_id="wpagerank",
+        )
+        out["wpagerank"] = {
+            "sec": round(time.time() - t0, 2),
+            "iterations": len(hist),
+            "max_rank": float(ranks.agg(F.max("rank")).collect()[0][0]),
+        }
     if "ego" in kernels:
         from deepgraph_spark.core import DeepGraphFrame
 
@@ -134,6 +149,21 @@ def main():
         eg = DeepGraphFrame(verts.withColumnRenamed("id", "v"), edges, index_col="v")
         eg.ego_net(verts.limit(100), radius=2, direction="forward")
         out["ego"] = {
+            "sec": round(time.time() - t0, 2),
+            "n_vertices": eg.v.count(),
+            "n_edges": eg.e.count(),
+        }
+    if "wego" in kernels:
+        # time-budget ego ball: everything within 1h cumulative delay
+        from deepgraph_spark.core import DeepGraphFrame
+
+        t0 = time.time()
+        we = g.e.select(
+            "s", "t", F.round(F.col("dt_s") * 1e6, 0).alias("w")
+        ) if "dt_s" in g.e.columns else edges.withColumn("w", F.lit(1.0))
+        eg = DeepGraphFrame(verts.withColumnRenamed("id", "v"), we, index_col="v")
+        eg.ego_net_weighted(verts.limit(100), 3_600_000_000.0, direction="forward")
+        out["wego"] = {
             "sec": round(time.time() - t0, 2),
             "n_vertices": eg.v.count(),
             "n_edges": eg.e.count(),
