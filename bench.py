@@ -226,8 +226,11 @@ def group_kernels2() -> dict:
     ew.count()
     times["sssp_events"] = _repeat(lambda: sssp(ew, seeds).count())
     times["four_cycles_events"] = _repeat(lambda: four_cycle_count(e).collect())
+    # real-work action (count() join-elimination audit, see group_docs)
     times["line_dedup"] = _repeat(
-        lambda: q_line_dedup_documents(spark, SF_DIR).count()
+        lambda: q_line_dedup_documents(spark, SF_DIR)
+        .agg(F.sum(F.length("text")))
+        .collect()
     )
     return {"times": times, "extra": {}}
 
@@ -254,20 +257,32 @@ def group_docs() -> dict:
         "ngram_jaccard": _repeat(
             lambda: q_ngram_jaccard_documents(spark, SF_DIR).count()
         ),
+        # real-work action (same phantom-count audit as strip_dup_spans:
+        # under count() Catalyst eliminated BOTH of decontaminate's joins)
         "decontaminate": _repeat(
             lambda: decontaminate(
                 docs.where(F.col("doc_id") % 17 != 0),
                 docs.where(F.col("doc_id") % 17 == 0),
                 k=8,
-            ).count()
+            )
+            .agg(F.sum("contamination_ratio"))
+            .collect()
         ),
         "pack_shards": _repeat(
             lambda: pack_shards(
                 docs.select("doc_id", "text"), budget=2000, order_by=["doc_id"]
             ).count()
         ),
+        # sum(length(text)), NOT count(): the round-6 0.33 s entry was a
+        # phantom — Catalyst eliminated the unique-keyed rebuild join under
+        # count() and timed little more than the doc scan. Forcing the text
+        # column through the aggregate measures the real operator (true r6
+        # cost re-measured at ~10.5 s; the round-7 restructure brings the
+        # same work to ~1.8 s).
         "strip_dup_spans": _repeat(
-            lambda: strip_duplicate_spans(docs, window=8).count()
+            lambda: strip_duplicate_spans(docs, window=8)
+            .agg(F.sum(F.length("text")))
+            .collect()
         ),
     }
     return {"times": times, "extra": {}}

@@ -35,10 +35,15 @@ def label_propagation(
     label with the largest TOTAL incoming weight (ties still break on the
     smaller label, keeping the partitioning-invariance property). The
     symmetrized edge view sums weights over parallel/bidirectional
-    duplicates (deterministic — integer-valued weights sum exactly in
-    double far below 2^53, which is what the driver gate feeds it). The
-    superstep plan shape is unchanged: the vote aggregation sums ``w``
-    instead of counting rows."""
+    duplicates. Determinism caveat (round-6 advice): the "integer-valued
+    weights sum exactly in double" property that makes the vote tie-breaks
+    partitioning-invariant only holds while every per-vertex incoming
+    weight total stays below 2^53 — so that bound is ENFORCED up front
+    (one agg over the symmetrized per-vertex totals, riding the persist
+    the first superstep materializes anyway); past it the fix is to
+    rescale weights to coarser units upstream. The superstep plan shape
+    is unchanged: the vote aggregation sums ``w`` instead of counting
+    rows."""
     spark = edges.sparkSession
     ckpt = SuperstepCheckpoint(spark, checkpoint_dir, job_id)
 
@@ -57,6 +62,23 @@ def label_propagation(
             .persist()
         )
         vote = F.sum("w")
+        # enforce the 2^53 exactness bound on per-vertex vote totals (any
+        # per-(vertex, label) vote sum is <= the vertex's total incoming
+        # weight, and |x|+|y| exact in double implies x+y exact): see the
+        # docstring's determinism caveat
+        max_tot = (
+            sym.groupBy("u")
+            .agg(F.sum(F.abs(F.col("w"))).alias("tot"))
+            .agg(F.max("tot"))
+            .collect()[0][0]
+        )
+        if max_tot is not None and max_tot >= 2.0**53:
+            raise ValueError(
+                f"label_propagation weight column {weight!r}: max per-vertex "
+                f"incoming weight total {max_tot:.3e} >= 2^53, so double vote "
+                "sums are no longer exact and tie-breaks become shuffle-order-"
+                "dependent — rescale weights to coarser units upstream"
+            )
 
     if vertices is not None:
         verts = vertices.select(F.col(vertices.columns[0]).alias("id")).distinct()

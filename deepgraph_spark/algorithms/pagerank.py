@@ -109,14 +109,23 @@ def pagerank(
             f"(the unbounded-scale path); got mode={mode!r}"
         )
     if weight is not None:
+        # try_cast, not cast: under Spark 4's default ANSI mode a plain cast
+        # of a malformed string THROWS a SparkNumberFormatException task
+        # failure before this validation can raise its own error — try_cast
+        # folds "uncastable" into the null branch we already check
+        wd = F.col(weight).try_cast("double")
+        # ill-defined weights: null, non-positive, NaN, or values whose
+        # double cast is null (e.g. non-numeric strings) — any of them would
+        # silently poison the per-source normalizer Σ_out w downstream
         bad = edges.where(
-            F.col(weight).isNull() | (F.col(weight).cast("double") <= 0)
+            F.col(weight).isNull() | wd.isNull() | F.isnan(wd) | (wd <= 0)
         ).limit(1).count()
         if bad:
             raise ValueError(
-                f"pagerank weight column {weight!r} must be positive and "
-                "non-null: zero/negative weights make the per-source "
-                "distribution ill-defined (drop or clamp them upstream)"
+                f"pagerank weight column {weight!r} must be positive, "
+                "non-null, non-NaN, and castable to double: ill-defined "
+                "weights make the per-source distribution undefined "
+                "(drop or clamp them upstream)"
             )
     w_cols = [F.col(weight).cast("double").alias("_ew")] if weight is not None else []
     if not directed:
@@ -168,6 +177,21 @@ def pagerank(
         )
     state_cols = ["outdeg", "pv"] if personalized else ["outdeg"]
     verts_deg = verts_deg.repartition(num_partitions, "id").persist()
+    if weight is not None:
+        # exactness bound (round-6 advice): the "integer weights sum exactly
+        # in double" determinism/oracle-parity property only holds while
+        # every per-source Σ_out w stays below 2^53 — past it, double sums
+        # become shuffle-order-dependent. Enforce, don't assume. The agg
+        # rides the persisted static state the first superstep needs anyway,
+        # so it costs one early materialization, not an extra edge pass.
+        max_wsum = verts_deg.agg(F.max("outdeg")).collect()[0][0]
+        if max_wsum is not None and max_wsum >= 2.0**53:
+            raise ValueError(
+                f"pagerank weight column {weight!r}: max per-source weight "
+                f"sum {max_wsum:.3e} >= 2^53, so double summation is no "
+                "longer exact and results become shuffle-order-dependent — "
+                "rescale weights to coarser units upstream"
+            )
     numer = F.col("_ew") if weight is not None else F.lit(1.0)
     edges_w = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"), *(

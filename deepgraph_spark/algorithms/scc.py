@@ -637,6 +637,13 @@ def _outer_loop(ckpt, v, e, assigned, start_iter, max_outer, max_label_iter,
                     kp.unpersist()
                 for h in pending_release:
                     h.unpersist()
+                # the previous round's state handles (assigned/e/v local-
+                # checkpoint blocks) are superseded too once the eager
+                # checkpoint above has materialized — without this they
+                # leaked for the rest of the session on the trim/serial-
+                # tail-emptied exit path (round-6 advice)
+                for h in prev_round_state or []:
+                    h.unpersist()
                 ckpt.update_metrics(k, {"active": 0, "converged": True})
                 if barrier_dir is not None:
                     shutil.rmtree(barrier_dir, ignore_errors=True)

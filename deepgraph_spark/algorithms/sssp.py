@@ -28,6 +28,39 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _sssp_superstep(
+    e: DataFrame, state: DataFrame, max_dist: float | None
+) -> DataFrame:
+    """One min-plus relaxation round: relax edges leaving the improved
+    frontier, min-aggregate candidates per destination, apply the distance
+    budget (INSIDE the round — before the state merge, so the state never
+    holds beyond-budget vertices; tests/test_plans.py guards that the
+    budget filter stays below the merge join), then full-outer merge into
+    the running distance table."""
+    frontier = state.where(F.col("imp")).select(
+        F.col("id").alias("a"), F.col("dist").alias("da")
+    )
+    cand = (
+        e.join(frontier, "a")
+        .groupBy(F.col("b").alias("id"))
+        .agg(F.min(F.col("da") + F.col("w")).alias("nd"))
+    )
+    if max_dist is not None:
+        cand = cand.where(F.col("nd") <= F.lit(float(max_dist)))
+    merged = state.select("id", "dist").join(cand, "id", "full_outer")
+    return merged.select(
+        "id",
+        F.least(
+            F.coalesce("dist", F.lit(float("inf"))),
+            F.coalesce("nd", F.lit(float("inf"))),
+        ).alias("dist"),
+        (
+            F.col("dist").isNull()
+            | (F.col("nd").isNotNull() & (F.col("nd") < F.col("dist")))
+        ).alias("imp"),
+    )
+
+
 def sssp(
     edges: DataFrame,
     sources: DataFrame,
@@ -90,28 +123,9 @@ def sssp(
     )
     try:
         for _ in range(max_iter):
-            frontier = state.where(F.col("imp")).select(
-                F.col("id").alias("a"), F.col("dist").alias("da")
+            new_state = _sssp_superstep(e, state, max_dist).localCheckpoint(
+                eager=False
             )
-            cand = (
-                e.join(frontier, "a")
-                .groupBy(F.col("b").alias("id"))
-                .agg(F.min(F.col("da") + F.col("w")).alias("nd"))
-            )
-            if max_dist is not None:
-                cand = cand.where(F.col("nd") <= F.lit(float(max_dist)))
-            merged = state.select("id", "dist").join(cand, "id", "full_outer")
-            new_state = merged.select(
-                "id",
-                F.least(
-                    F.coalesce("dist", F.lit(float("inf"))),
-                    F.coalesce("nd", F.lit(float("inf"))),
-                ).alias("dist"),
-                (
-                    F.col("dist").isNull()
-                    | (F.col("nd").isNotNull() & (F.col("nd") < F.col("dist")))
-                ).alias("imp"),
-            ).localCheckpoint(eager=False)
             # one action: materializes the round and counts improvements
             n_imp = new_state.agg(
                 F.sum(F.col("imp").cast("long")).alias("n")

@@ -4,6 +4,7 @@ link-graph engine, all expressed as declarative DataFrame plans or
 Arrow-vectorized pandas stages."""
 
 from deepgraph_spark.pipeline.curation import (
+    curation_pipeline,
     decontaminate,
     hash_split,
     pack_shards,
@@ -58,6 +59,7 @@ __all__ = [
     "hash_split",
     "pack_shards",
     "redact_pii",
+    "curation_pipeline",
     "duplicate_spans",
     "dup_span_stats",
     "strip_duplicate_spans",

@@ -198,6 +198,100 @@ def pack_shards(
     return s1.mapInPandas(pack, out_schema)
 
 
+def curation_pipeline(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_keep: tuple[str, ...] = ("en",),
+    min_alpha_ratio: float = 0.815,
+    neardup_threshold: float = 0.5,
+    hash_fn: str = "md5",
+    contamination_k: int = 8,
+    max_contamination: float = 0.5,
+    split_seed: int = 42,
+    keep_split: str = "train",
+    shard_budget: int = 2000,
+) -> DataFrame:
+    """The end-to-end curation pipeline a 100 TB corpus actually runs before
+    training, composed from this package's own operators:
+
+    PII redaction → language-ID filter → quality (alpha-ratio) filter →
+    MinHash-LSH near-dup removal (keep one canonical doc per duplicate
+    cluster) → benchmark decontamination against ``eval_set`` → deterministic
+    hash split (keep ``keep_split``) → token-budget shard packing.
+
+    Returns ``(id, n_tokens, shard)`` for the surviving documents. The point
+    of the composed form (vs each operator's own gate) is that the stages
+    compose *as DataFrame plans*: every inter-stage boundary is an id-keyed
+    semi/anti join of narrow key rows, so Catalyst sees one lazy plan and the
+    only wide exchanges are the ones each stage owns (LSH band shuffle, gram
+    hash join, the single range exchange in :func:`pack_shards`).
+
+    Scale shape per stage is unchanged from the individual operators —
+    documented at their definitions; nothing here adds a shuffle beyond the
+    id-keyed filters.
+    """
+    from deepgraph_spark.pipeline.dedup import neardup_clusters
+    from deepgraph_spark.pipeline.textstats import lang_id, text_quality
+
+    # 1. redact PII on both sides (before dedup, so redacted boilerplate
+    #    dedups; before decontamination, so eval grams match redacted text)
+    red_c = redact_pii(corpus, text_col=text_col, id_col=id_col).select(
+        F.col(id_col), F.col("text_redacted").alias(text_col)
+    )
+    red_e = redact_pii(eval_set, text_col=text_col, id_col=id_col).select(
+        F.col(id_col), F.col("text_redacted").alias(text_col)
+    )
+
+    # 2+3. language + quality filters (id-keyed joins of 1-row-per-doc sides)
+    lang = lang_id(red_c, text_col=text_col, id_col=id_col).where(
+        F.col("lang_guess").isin(*lang_keep)
+    )
+    qual = text_quality(red_c, text_col=text_col, id_col=id_col).where(
+        F.col("alpha_ratio") >= min_alpha_ratio
+    )
+    surv1 = red_c.join(lang.select(id_col), id_col, "left_semi").join(
+        qual.select(id_col), id_col, "left_semi"
+    )
+
+    # 4. near-dup removal: keep cluster canonicals (cluster == own id) and
+    #    docs with no near-duplicate at all (absent from the cluster table)
+    drops = neardup_clusters(
+        surv1,
+        text_col=text_col,
+        id_col=id_col,
+        threshold=neardup_threshold,
+        hash_fn=hash_fn,
+    ).where(F.col("cluster") != F.col(id_col))
+    surv2 = surv1.join(drops.select(id_col), id_col, "left_anti")
+
+    # 5. decontamination against the (redacted) eval set
+    contaminated = decontaminate(
+        surv2, red_e, k=contamination_k, text_col=text_col, id_col=id_col
+    ).where(F.col("contamination_ratio") >= max_contamination)
+    surv3 = surv2.join(contaminated.select(id_col), id_col, "left_anti")
+
+    # 6. deterministic split, keep one partition of it
+    surv4 = hash_split(surv3, id_col=id_col, seed=split_seed).where(
+        F.col("split") == keep_split
+    )
+
+    # 7. token-budget shard packing over the survivors, in id order
+    sized = surv4.select(
+        F.col(id_col),
+        F.size(F.split(F.trim(F.col(text_col)), _WS)).cast("long").alias("n_tokens"),
+    )
+    return pack_shards(
+        sized,
+        budget=shard_budget,
+        order_by=[id_col],
+        size_col="n_tokens",
+        id_col=id_col,
+    )
+
+
 # (name, regex) — RE2/Java-compatible syntax so the Spark plan and the DuckDB
 # oracle compile the same automaton; replacement token is <NAME>.
 PII_PATTERNS: list[tuple[str, str]] = [

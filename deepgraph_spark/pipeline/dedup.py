@@ -186,6 +186,10 @@ def neardup_clusters(
         pairs.select(F.col("a").alias("s"), F.col("b").alias("t")),
         label_by_size=False,
         index_col=id_col,
+        # the pair plan upstream is the full MinHash-LSH multi-join — exactly
+        # the expensive-input case the persist knob exists for; without it,
+        # superstep 0 re-evaluates the whole LSH pipeline (round-6 advice)
+        persist_input=True,
     )
     return cp.withColumnRenamed("cp", "cluster")
 

@@ -87,6 +87,31 @@ def test_weighted_pagerank_rejects_nonpositive(spark):
         pagerank(e, weight="w")
 
 
+def test_weighted_pagerank_rejects_nan_and_uncastable(spark):
+    """NaN weights and values whose double cast is null must fail loud too
+    (round-6 advice): both would silently poison the Σ_out w normalizer."""
+    e = spark.createDataFrame(
+        pd.DataFrame({"s": [0, 1], "t": [1, 0], "w": [1.0, float("nan")]})
+    )
+    with pytest.raises(ValueError, match="NaN"):
+        pagerank(e, weight="w")
+    e2 = spark.createDataFrame(
+        [(0, 1, "2.0"), (1, 0, "not-a-number")], "s long, t long, w string"
+    )
+    with pytest.raises(ValueError, match="castable"):
+        pagerank(e2, weight="w")
+
+
+def test_weighted_pagerank_rejects_sums_past_2_53(spark):
+    """Per-source Σ_out w >= 2^53 breaks the exact-double-summation
+    invariant → fail loud with rescale guidance (round-6 advice)."""
+    e = spark.createDataFrame(
+        pd.DataFrame({"s": [0, 0, 1], "t": [1, 2, 0], "w": [2.0**53, 2.0, 1.0]})
+    )
+    with pytest.raises(ValueError, match="2\\^53"):
+        pagerank(e, weight="w")
+
+
 def test_pagerank_star_skew(spark):
     """Hub fixture: salted two-phase aggregation must not change results."""
     edges = star_graph(200)
@@ -338,3 +363,13 @@ def test_weighted_lpa_uniform_weights_match_unweighted(spark):
         .toPandas().sort_values("id")["label"].values
     )
     assert (got_w == got_u).all()
+
+
+def test_weighted_lpa_rejects_sums_past_2_53(spark):
+    """Vote totals >= 2^53 make double sums shuffle-order-dependent and the
+    deterministic tie-break contract void → fail loud (round-6 advice)."""
+    e = spark.createDataFrame(
+        pd.DataFrame({"s": [0, 1], "t": [1, 0], "w": [2.0**53, 1.0]})
+    )
+    with pytest.raises(ValueError, match="2\\^53"):
+        label_propagation(e, max_iter=2, weight="w")

@@ -175,3 +175,67 @@ def test_redact_pii_patterns_compile_in_re2_subset():
     for _, pat in PII_PATTERNS:
         assert "(?=" not in pat and "(?<" not in pat and "\\1" not in pat
         re.compile(pat)
+
+
+def test_curation_pipeline_composed_stages(spark):
+    """End-to-end composed pipeline on a planted fixture where every stage
+    has something to do: a PII doc, a non-English doc, a low-quality doc, a
+    near-duplicate pair, a contaminated doc, and enough survivors to pack
+    two shards."""
+    from deepgraph_spark.pipeline import curation_pipeline
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    rows = [
+        # eval doc (id % 17 == 0)
+        (0, base + " eval marker tail tokens here"),
+        # survivor with PII (redacted before packing; token count changes)
+        (1, "the cat and the dog of the house sat a@b.com on the mat of all"),
+        # German doc -> dropped by lang filter
+        (2, "der hund und die katze und der vogel und die maus der und die"),
+        # low-quality doc (digits) -> dropped by alpha-ratio filter
+        (3, "the 111 222 333 444 555 666 777 888 999 000 111 222 333 444"),
+        # near-duplicate pair -> 5 kept (canonical), 6 dropped
+        (5, "the sun and the moon of the sky and the stars of the night"),
+        (6, "the sun and the moon of the sky and the stars of the night"),
+        # contaminated doc: verbatim copy of the eval doc -> dropped
+        (7, base + " eval marker tail tokens here"),
+        # plain survivor
+        (8, "the wind and the rain of the storm and the thunder of the sea"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus = docs.where(F.col("doc_id") % 17 != 0)
+    eval_set = docs.where(F.col("doc_id") % 17 == 0)
+    out = curation_pipeline(
+        corpus,
+        eval_set,
+        lang_keep=("en",),
+        min_alpha_ratio=0.5,
+        neardup_threshold=0.5,
+        hash_fn="md5",
+        contamination_k=8,
+        max_contamination=0.5,
+        split_seed=42,
+        keep_split="train",
+        shard_budget=20,
+    ).toPandas().sort_values("doc_id")
+    from deepgraph_spark.pipeline import hash_split as _hs
+
+    # expected survivors before the split: 1 (PII redacted), 5 (canonical),
+    # 8; 2/3/6/7 dropped by lang/quality/dedup/decontamination respectively
+    expect_pre_split = {1, 5, 8}
+    splits = {
+        r["doc_id"]: r["split"]
+        for r in _hs(docs, seed=42).select("doc_id", "split").collect()
+    }
+    expect = sorted(d for d in expect_pre_split if splits[d] == "train")
+    assert list(out.doc_id) == expect
+    # shard = floor(exclusive running token sum / 20) in doc_id order
+    sizes = dict(zip(out.doc_id, out.n_tokens))
+    run = 0
+    for d in expect:
+        assert out[out.doc_id == d].shard.iloc[0] == run // 20
+        run += sizes[d]
+    # doc 1 survived WITH its PII redacted: a@b.com -> <EMAIL> in place,
+    # so the token count is unchanged at 15
+    if 1 in sizes:
+        assert sizes[1] == 15

@@ -176,6 +176,59 @@ def test_trim_degree_pass_no_single_partition(spark, docs):
     assert "SinglePartition" not in p, p
 
 
+def test_sssp_budget_prune_inside_loop_join(spark, docs):
+    """The ``max_dist`` budget filter must land INSIDE the superstep — on
+    the candidate aggregation, BELOW the full-outer state-merge join — so
+    the state (and every subsequent join) only ever holds the within-budget
+    ball. A refactor that filters post-merge would silently unbound the
+    frontier (round-6 verdict item 6)."""
+    from deepgraph_spark.algorithms.sssp import _sssp_superstep
+
+    e = docs.select(
+        F.col("doc_id").alias("a"), (F.col("doc_id") + 1).alias("b"),
+        F.lit(1.0).alias("w"),
+    )
+    state = docs.select(
+        F.col("doc_id").alias("id"), F.lit(0.0).alias("dist"),
+        F.lit(True).alias("imp"),
+    )
+    step = _sssp_superstep(e, state, max_dist=8.0)
+    plan = step._jdf.queryExecution().optimizedPlan().toString()
+    lines = plan.splitlines()
+    join_idx = [i for i, l in enumerate(lines) if "FullOuter" in l]
+    filt_idx = [i for i, l in enumerate(lines) if "Filter" in l and "8.0" in l]
+    assert join_idx and filt_idx, plan
+    # tree prints parent-first: the budget filter must sit BELOW (inside)
+    # the merge join, i.e. on the candidate side, not above it
+    assert min(filt_idx) > min(join_idx), plan
+    assert "SinglePartition" not in plan_of(step), plan_of(step)
+
+
+def test_strip_dup_spans_clean_doc_fast_path(spark, docs):
+    """Clean documents (no removable token) must take the pass-through
+    ``regexp_replace`` branch: the token posexplode + per-doc sorted rebuild
+    may only sit on the dirty side, below a left-semi join against the
+    removable-doc id set (round-6 verdict item 3 — at corpus scale, clean
+    docs are the overwhelming majority and must not pay the exploded
+    rebuild)."""
+    from deepgraph_spark.pipeline import strip_duplicate_spans
+
+    out = strip_duplicate_spans(docs, window=8)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # pass-through branch exists (whitespace canonicalization only), as the
+    # coalesce fallback of the single final left join
+    assert "regexp_replace" in plan, plan
+    # the rebuild side is gated by a semi join against the dirty-doc ids, so
+    # only removable-token documents are ever posexploded
+    assert "LeftSemi" in plan, plan
+    # the token rebuild (sorted collect_list reassembly) appears exactly
+    # once — only the dirty branch pays it
+    assert plan.count("array_sort") == 1, plan
+    # exactly one posexplode (the dirty branch); the clean majority must not
+    # be tokenized at all
+    assert plan.lower().count("posexplode") == 1, plan
+
+
 def test_dup_spans_windows_are_doc_partitioned(spark, docs):
     """Span-dedup interval merge: every window function partitions by
     document (never a global/SinglePartition window), and the strip rebuild

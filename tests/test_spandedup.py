@@ -74,3 +74,35 @@ def test_no_duplicates_is_identity(spark):
     assert duplicate_spans(docs, window=W).count() == 0
     got = {r["doc_id"]: r["text"] for r in strip_duplicate_spans(docs, window=W).collect()}
     assert got == dict(rows)
+
+
+def test_null_text_is_empty_doc(spark):
+    """Null text follows the package-wide empty-string convention: without
+    the coalesce, non-ANSI size(NULL) = -1 gave n_tokens = -1 and a negative
+    dup_frac (round-6 advice)."""
+    rows = [(1, "x0 x1 x2 x3 x4 x5"), (2, "x0 x1 x2 x3 x4 x5"), (3, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    stats = {r["doc_id"]: r for r in dup_span_stats(docs, window=W).collect()}
+    # same accounting as an empty string: one empty token, zero dup coverage
+    assert (stats[3]["n_tokens"], stats[3]["dup_tokens"]) == (1, 0)
+    assert stats[3]["dup_frac"] == 0.0
+    # the real duplicates are still found and stripped around the null row
+    assert stats[1]["dup_frac"] == 1.0 and stats[2]["dup_frac"] == 1.0
+    got = {r["doc_id"]: r["text"] for r in strip_duplicate_spans(docs, window=W).collect()}
+    assert got == {1: "x0 x1 x2 x3 x4 x5", 2: "", 3: ""}
+
+
+def test_strip_mixed_clean_and_dirty_whitespace(spark):
+    """The clean fast path's regexp_replace canonicalization must agree with
+    the rebuild path's tokenize-and-rejoin on messy whitespace."""
+    rows = [
+        (1, "  x0 x1   x2 x3\tx4 x5  "),     # dirty, canonical keeper, messy ws
+        (2, "x0 x1 x2 x3 x4 x5"),            # dirty, duplicate copy
+        (3, "  c0\t c1  c2   "),             # clean, messy ws
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["text"] for r in strip_duplicate_spans(docs, window=W).collect()}
+    # canonical = min (doc_id, start) over occurrences of each window hash
+    assert got[1] == "x0 x1 x2 x3 x4 x5"
+    assert got[2] == ""
+    assert got[3] == "c0 c1 c2"

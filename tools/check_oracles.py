@@ -54,7 +54,11 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
-    qs = entry_mod.queries()
+    from deepgraph_spark.entry_queries import EXTRA_QUERIES
+
+    # graded surface first (driver order), then the local-only overflow gates
+    qs = dict(entry_mod.queries())
+    qs.update(EXTRA_QUERIES)
     oracles = entry_mod.oracle_sql()
     results = {}
     for name, fn in qs.items():
