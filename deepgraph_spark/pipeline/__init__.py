@@ -17,6 +17,7 @@ from deepgraph_spark.pipeline.dedup import (
     minhash_lsh_dedup,
     neardup_clusters,
     ngram_jaccard_pairs,
+    semantic_dedup,
     simhash_fingerprints,
 )
 from deepgraph_spark.pipeline.similarity import (
@@ -43,6 +44,7 @@ __all__ = [
     "line_exact_dedup",
     "minhash_lsh_dedup",
     "neardup_clusters",
+    "semantic_dedup",
     "simhash_fingerprints",
     "ngram_jaccard_pairs",
     "embedding_neardup_pairs",

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -377,6 +377,103 @@ def _emb_base(emb: DataFrame, vec_col: str, id_col: str, group_cols: list[str]) 
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     sumsq = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
     return emb.select(*group_cols, F.col(id_col), v.alias("rv"), sumsq.alias("ss"))
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.85,
+    centroid_mod: int = 1000,
+    max_cluster_rows: int | None = 100_000,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): coarse-cluster the corpus by nearest centroid, compute
+    exact pairwise cosine only INSIDE each cluster, link pairs with
+    ``cosine >= threshold``, close the links with connected components, and
+    label every member with its group's canonical keeper (min id) — the
+    keep-one-per-semantic-group step of an embedding-curation pipeline.
+
+    Returns ``(id_col, cluster)`` with one row per vector that has at least
+    one semantic duplicate (same contract as :func:`neardup_clusters`);
+    survivors = anti-join the corpus against rows where ``cluster != id``.
+
+    Centroids are the same deterministic hash sample the IVF index uses
+    (``id % centroid_mod == 0``) — uniform coverage for the coarse-bucketing
+    role, and determinism is what lets the whole pipeline (assignment argmax
+    included) hold bit-for-bit against a SQL oracle; swap in k-means iterates
+    without touching the plan shape.
+
+    Scale shape: assignment is the inherent IVF cost (corpus × small
+    codebook, one vectorized dot per pair, only ``(id, cid)`` longs survive);
+    the pairwise stage is quadratic PER CLUSTER by design — expected cluster
+    size is ``n / n_centroids``, and ``max_cluster_rows`` makes a pathological
+    cluster fail loudly (one cheap count pass) instead of silently going
+    O(n²); the component closure and the final labeling shuffle nothing wider
+    than ``(id, id)`` pairs."""
+    from deepgraph_spark.algorithms import connected_components
+
+    base = _emb_base(emb, vec_col, id_col, [])
+    cent = base.where(F.col(id_col) % centroid_mod == 0).select(
+        F.col(id_col).alias("cid"), F.col("rv").alias("cv"), F.col("ss").alias("cs")
+    )
+    dot_c = F.aggregate(
+        F.zip_with("rv", "cv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    sim = F.round(dot_c / (F.sqrt("ss") * F.sqrt("cs")), 6)
+    assign = base.select(id_col, "rv", "ss").crossJoin(cent).select(
+        F.col(id_col), F.col("cid"), sim.alias("sim")
+    )
+    wa = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.asc("cid"))
+    bucketed = (
+        assign.withColumn("arank", F.row_number().over(wa))
+        .where(F.col("arank") == 1)
+        .select(id_col, "cid")
+    )
+    if max_cluster_rows is not None:
+        over = (
+            bucketed.groupBy("cid")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > max_cluster_rows)
+            .limit(1)
+            .collect()
+        )
+        if over:
+            raise ValueError(
+                f"semantic_dedup: centroid cluster {over[0]['cid']} has "
+                f"{over[0]['__n']} rows > max_cluster_rows={max_cluster_rows}; "
+                "the within-cluster pair plan is quadratic per cluster — use a "
+                "larger codebook (smaller centroid_mod), or raise "
+                "max_cluster_rows explicitly"
+            )
+    withv = bucketed.join(base.select(id_col, "rv", "ss"), id_col)
+    left = withv.select(
+        "cid", F.col(id_col).alias("a"), F.col("rv").alias("va"), F.col("ss").alias("sa")
+    )
+    right = withv.select(
+        F.col("cid").alias("cid__r"), F.col(id_col).alias("b"),
+        F.col("rv").alias("vb"), F.col("ss").alias("sb"),
+    )
+    dot_p = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    cos = F.round(dot_p / (F.sqrt("sa") * F.sqrt("sb")), 6)
+    pairs = (
+        left.join(right, (F.col("cid") == F.col("cid__r")) & (F.col("a") < F.col("b")))
+        .select("a", "b", cos.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+    cp = connected_components(
+        pairs.select(F.col("a").alias("s"), F.col("b").alias("t")),
+        label_by_size=False,
+        index_col=id_col,
+        # upstream is the assignment cross-join + quadratic verify — the
+        # expensive-input case the persist knob exists for
+        persist_input=True,
+    )
+    return cp.withColumnRenamed("cp", "cluster")
 
 
 def _hyperplane_buckets(

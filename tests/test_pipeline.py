@@ -360,3 +360,53 @@ def test_embedding_neardup_empty_input(spark):
     )
     assert got.count() == 0
     assert [f.name for f in got.schema.fields] == ["vid", "table", "bucket"]
+
+
+def test_semantic_dedup_matches_numpy_mirror(spark, emb):
+    """SemDeDup: full numpy mirror of the pipeline — hash-sampled centroids,
+    nearest-centroid assignment (6-dp rounded cosine, cid tie-break), exact
+    within-cluster pairwise cut at tau, transitive closure, min-id labels."""
+    from deepgraph_spark.pipeline import semantic_dedup
+
+    tau, mod = 0.4, 25
+    pdf = emb.toPandas()
+    ids = pdf.vec_id.values
+    m = np.array([np.asarray(x, dtype=np.float64) for x in pdf.embedding.values])
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    c_idx = [i for i, x in enumerate(ids) if x % mod == 0]
+    sims_c = np.round(mn @ mn[c_idx].T, 6)
+    # nearest centroid, ties to the smaller cid
+    bucket = {}
+    for i in range(len(ids)):
+        best = max(range(len(c_idx)), key=lambda j: (sims_c[i, j], -ids[c_idx[j]]))
+        bucket[ids[i]] = ids[c_idx[best]]
+    sims = np.round(mn @ mn.T, 6)
+    parent = {x: x for x in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    linked = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if bucket[ids[i]] == bucket[ids[j]] and sims[i, j] >= tau:
+                a, b = find(ids[i]), find(ids[j])
+                parent[max(a, b)] = min(a, b)
+                linked.add(ids[i]); linked.add(ids[j])
+    exp = {x: find(x) for x in linked}
+    assert exp, "fixture must contain at least one semantic-dup pair"
+
+    got = semantic_dedup(emb, threshold=tau, centroid_mod=mod).toPandas()
+    assert dict(zip(got.vec_id, got.cluster)) == exp
+
+
+def test_semantic_dedup_cluster_guard(spark, emb):
+    """A pathological centroid cluster (here: one centroid takes everything)
+    must fail loudly instead of silently going quadratic."""
+    from deepgraph_spark.pipeline import semantic_dedup
+
+    with pytest.raises(ValueError, match="max_cluster_rows"):
+        semantic_dedup(emb, centroid_mod=10_000, max_cluster_rows=50)
