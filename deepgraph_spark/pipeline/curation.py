@@ -26,6 +26,9 @@ def _token_kgrams(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFram
     """(id, gram) rows: whitespace-token ``k``-grams; documents shorter than
     ``k`` tokens contribute their whole text as one gram (same convention as
     :func:`~deepgraph_spark.pipeline.textstats.doc_fingerprints`)."""
+    from deepgraph_spark.pipeline.util import reparallelize_small_scan
+
+    df = reparallelize_small_scan(df, id_col)
     toks = F.split(F.trim(F.col(text_col)), _WS)
     grams = F.when(
         F.size(toks) >= k,

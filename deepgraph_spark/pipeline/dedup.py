@@ -47,6 +47,9 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 def _shingles(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     """Distinct word n-gram shingles per doc, via native sequence/transform —
     no Python in the hot path."""
+    from deepgraph_spark.pipeline.util import reparallelize_small_scan
+
+    docs = reparallelize_small_scan(docs, id_col)
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     grams = F.when(
         F.size(toks) >= n,
@@ -206,6 +209,9 @@ def simhash_fingerprints(
     Returns (id, simhash long). Mirrors the SQL oracle bit-for-bit.
     """
     assert bits <= 60
+    from deepgraph_spark.pipeline.util import reparallelize_small_scan
+
+    docs = reparallelize_small_scan(docs, id_col)
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     t = docs.select(F.col(id_col), F.explode(toks).alias("tok"))
     t = t.select(id_col, hash60(F.col("tok")).alias("h"))
@@ -569,6 +575,9 @@ def line_exact_dedup(
     else:
         raise ValueError("hash_fn must be 'xxhash64' or 'md5'")
 
+    from deepgraph_spark.pipeline.util import reparallelize_small_scan
+
+    docs = reparallelize_small_scan(docs, id_col)
     lines = (
         docs.select(
             F.col(id_col),

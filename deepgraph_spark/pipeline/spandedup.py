@@ -27,28 +27,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _reparallelize_small_scan(docs: DataFrame, id_col: str) -> DataFrame:
-    """Spread a few-file scan across the cluster before CPU-heavy per-row
-    work (window building + hashing runs in the scan's own stage).
-
-    At the design scale the input has thousands of parquet splits and this
-    is a no-op decision; the repartition only fires for a scan with fewer
-    files than cores — the local-test / tiny-extract case, where one 580 KB
-    parquet file otherwise pins the whole window-hash chain to one core
-    (measured 9.5 s → 1.7 s at sf0.1 on local[32]). ``inputFiles()`` is a
-    plan-metadata read — unlike ``df.rdd.getNumPartitions()`` it never
-    triggers AQE stage execution on a composed upstream plan; non-file
-    upstreams report no files and are left alone (their partitioning already
-    comes from shuffle exchanges sized by ``spark.sql.shuffle.partitions``)."""
-    sc = docs.sparkSession.sparkContext
-    want = sc.defaultParallelism
-    try:
-        n_files = len(docs.inputFiles())
-    except Exception:  # non-file or unresolvable plans: leave untouched
-        return docs
-    if 0 < n_files < want:
-        return docs.repartition(want, id_col)
-    return docs
+from deepgraph_spark.pipeline.util import reparallelize_small_scan
 
 
 def _window_occurrences(
@@ -60,7 +39,7 @@ def _window_occurrences(
     tokens emit nothing."""
     from deepgraph_spark.pipeline.dedup import hash60
 
-    docs = _reparallelize_small_scan(docs, id_col)
+    docs = reparallelize_small_scan(docs, id_col)
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     wins = F.transform(
         F.sequence(F.lit(0), F.size(toks) - window),

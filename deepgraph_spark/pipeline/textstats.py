@@ -90,7 +90,9 @@ def repetition_stats(
     pathological repetition SHRINKS its shuffle volume rather than inflating
     it. Documents shorter than ``k`` tokens count one whole-text gram."""
     from deepgraph_spark.pipeline.dedup import hash60
+    from deepgraph_spark.pipeline.util import reparallelize_small_scan
 
+    docs = reparallelize_small_scan(docs, id_col)
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     grams = F.when(
         F.size(toks) >= k,
@@ -132,8 +134,11 @@ def corpus_ngram_topk(
             lambda j: F.concat_ws(" ", F.slice(toks, j + 1, k)),
         ),
     ).otherwise(F.array(F.concat_ws(" ", toks)))
+    from deepgraph_spark.pipeline.util import reparallelize_small_scan
+
     return (
-        docs.select(F.explode(grams).alias("gram"))
+        reparallelize_small_scan(docs, docs.columns[0])
+        .select(F.explode(grams).alias("gram"))
         .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("gram"))
@@ -163,7 +168,9 @@ def doc_fingerprints(
     from pyspark.sql import Window as W
 
     from deepgraph_spark.pipeline.dedup import hash60
+    from deepgraph_spark.pipeline.util import reparallelize_small_scan
 
+    docs = reparallelize_small_scan(docs, id_col)
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     grams = F.when(
         F.size(toks) >= k,
