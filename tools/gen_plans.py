@@ -79,14 +79,30 @@ sections.append(("Winnowing fingerprints (k-gram hash + window-min)", cap(doc_fi
 on doc_id), never a global sort; distinct closes the plan."""))
 
 from deepgraph_spark.pipeline import strip_duplicate_spans
-sections.append(("Duplicate-span strip (window hashes -> canonical keeper -> rebuild)", cap(strip_duplicate_spans(docs, window=8)),
+sections.append(("Duplicate-span strip (window hashes -> canonical keeper -> gated rebuild)", cap(strip_duplicate_spans(docs, window=8)),
 """ExactSubstr-style span dedup: sliding 8-token window hashes (sequence/
 slice/md5, all JVM) aggregate by hash with map-side combine — only
 (doc_id, start, hash) longs shuffle, and repeated boilerplate SHRINKS its
 own shuffle volume; duplicated hashes elect a canonical (min doc_id, start)
 occurrence via a min-struct aggregate; coverage explodes 8 positions per
-DUPLICATED occurrence only; the rebuild groups by document (array_sort over
-collected (pos, token) structs — no global window, no UDF anywhere)."""))
+DUPLICATED occurrence only. Round-7 fast path: a left-semi join against the
+removable-token doc ids gates the ONLY posexplode — clean documents (the
+overwhelming majority of a deduplicated corpus) never tokenize; they take the
+coalesce fallback of the single final left join (native regexp_replace
+whitespace canonicalization, same single-space form as the rebuild). The
+rebuild groups by document (array_sort over conditionally-collected
+(pos, token) structs — one row per dirty doc even when everything was
+removed; no global window, no UDF anywhere)."""))
+
+from deepgraph_spark.pipeline import semantic_dedup
+sections.append(("Semantic dedup (SemDeDup: coarse centroids -> within-cluster cosine -> CC)", cap(semantic_dedup(docs.sparkSession.read.parquet(f"{SF}/embeddings.parquet"), threshold=0.4, centroid_mod=25).where(F.col("vec_id") >= 0)),
+"""Assignment is the inherent IVF cost: corpus x small hash-sampled codebook,
+one vectorized zip_with dot per pair, and only (id, cid) longs survive the
+argmax window (partitioned by vector id — never global). The pairwise stage
+is quadratic PER CENTROID CLUSTER only (expected n/n_centroids rows each;
+max_cluster_rows fails loud on a pathological cluster), the threshold cut
+keeps narrow (a, b) pairs, and the closure is the same large-star/small-star
+CC plan the graph kernels audit. Nothing global, no UDF anywhere."""))
 
 emb = spark.read.parquet(f"{SF}/embeddings.parquet")
 from deepgraph_spark.pipeline import ann_topk_ivf
