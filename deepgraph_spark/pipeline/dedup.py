@@ -420,8 +420,9 @@ def semantic_dedup(
     O(n²); the component closure and the final labeling shuffle nothing wider
     than ``(id, id)`` pairs."""
     from deepgraph_spark.algorithms import connected_components
+    from deepgraph_spark.pipeline.util import reparallelize_small_scan
 
-    base = _emb_base(emb, vec_col, id_col, [])
+    base = _emb_base(reparallelize_small_scan(emb, id_col), vec_col, id_col, [])
     cent = base.where(F.col(id_col) % centroid_mod == 0).select(
         F.col(id_col).alias("cid"), F.col("rv").alias("cv"), F.col("ss").alias("cs")
     )
