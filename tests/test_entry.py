@@ -53,3 +53,19 @@ def test_entry_docstring_has_no_stale_count():
     doc = text.split('"""')[1]
     stale = re.findall(r"\b(\d{2,})\s+quer", doc)
     assert not stale, f"hard-coded query count {stale} in __spark_entry__ docstring"
+
+
+def test_driver_facing_oracles_subset_of_queries():
+    """The driver must never receive an oracle without a matching queries()
+    entry (ORACLES also carries the local-only EXTRA_QUERIES oracles, which
+    only tools/check_oracles.py consumes)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry_t", str(REPO / "__spark_entry__.py")
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    assert set(m.oracle_sql()) <= set(m.queries())
+    # every graded query that has an oracle exposes it
+    assert set(m.oracle_sql()) == set(QUERIES) & set(ORACLES)

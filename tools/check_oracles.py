@@ -54,12 +54,14 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
-    from deepgraph_spark.entry_queries import EXTRA_QUERIES
+    from deepgraph_spark.entry_queries import EXTRA_QUERIES, ORACLES
 
     # graded surface first (driver order), then the local-only overflow gates
+    # (entry_mod.oracle_sql() is driver-facing and exposes only the graded
+    # surface; the full oracle map lives in entry_queries.ORACLES)
     qs = dict(entry_mod.queries())
     qs.update(EXTRA_QUERIES)
-    oracles = entry_mod.oracle_sql()
+    oracles = dict(ORACLES)
     results = {}
     for name, fn in qs.items():
         if only and name not in only:
