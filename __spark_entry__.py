@@ -13,9 +13,10 @@ session queries vs the batch SQL oracles), the corpus-curation family — graded
 through one composed seven-stage pipeline gate (PII redaction → lang-id →
 quality → MinHash near-dup removal → decontamination → hash split → shard
 packing, mirrored stage-for-stage in a single DuckDB oracle), with the
-four single-op curation gates kept in a local-only overflow registry
-(``entry_queries.EXTRA_QUERIES``) because the driver grades at most the
-first fifty entries — and the hash
+four single-op curation gates (plus the brute-force ANN baseline, whose
+exact-cosine math the graded IVF/LSH/semantic-dedup gates re-verify) kept in
+a local-only overflow registry (``entry_queries.EXTRA_QUERIES``) because the
+driver grades at most the first fifty entries — and the hash
 sketches (shared 60-bit MD5 hash family mirrors simhash, winnowing
 fingerprints, the complete MinHash-LSH band pipeline, and the
 Rademacher-plane ANN-LSH buckets engine-for-engine)."""
