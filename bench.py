@@ -54,6 +54,8 @@ EXCLUDE_FROM_TOTAL = {
     "strip_dup_spans",
     "curation_pipeline",
     "semantic_dedup",
+    "ngram_jaccard_prefix",
+    "ngram_jaccard_allpairs_t35",
 }
 
 
@@ -245,6 +247,7 @@ def group_docs() -> dict:
         curation_pipeline,
         decontaminate,
         minhash_lsh_dedup,
+        ngram_jaccard_pairs,
         pack_shards,
         strip_duplicate_spans,
     )
@@ -259,6 +262,23 @@ def group_docs() -> dict:
         ),
         "ngram_jaccard": _repeat(
             lambda: q_ngram_jaccard_documents(spark, SF_DIR).count()
+        ),
+        # round-8: the subquadratic scale path (rare-first prefix filtering +
+        # exact verify) vs the contract-quadratic self-join at the SAME
+        # threshold — sum(jaccard) forces the verify computation on both
+        "ngram_jaccard_prefix": _repeat(
+            lambda: ngram_jaccard_pairs(
+                docs, group_cols=["source"], threshold=0.35, method="prefix"
+            )
+            .agg(F.sum("jaccard"))
+            .collect()
+        ),
+        "ngram_jaccard_allpairs_t35": _repeat(
+            lambda: ngram_jaccard_pairs(
+                docs, group_cols=["source"], threshold=0.35, method="allpairs"
+            )
+            .agg(F.sum("jaccard"))
+            .collect()
         ),
         # real-work action (same phantom-count audit as strip_dup_spans:
         # under count() Catalyst eliminated BOTH of decontaminate's joins)

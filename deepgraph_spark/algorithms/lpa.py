@@ -38,15 +38,19 @@ def label_propagation(
     duplicates. Determinism caveat (round-6 advice): the "integer-valued
     weights sum exactly in double" property that makes the vote tie-breaks
     partitioning-invariant only holds while every per-vertex incoming
-    weight total stays below 2^53 — so that bound is ENFORCED up front
-    (one agg over the symmetrized per-vertex totals, riding the persist
-    the first superstep materializes anyway); past it the fix is to
-    rescale weights to coarser units upstream. The superstep plan shape
+    Σ|w| stays below 2^53 — so that bound is ENFORCED (one agg over the
+    RAW symmetrized per-vertex abs-weight totals, so mixed-sign weights
+    that cancel within a (u, v) pair cannot slip under it), and it fires
+    only when a superstep will actually run — ``max_iter=0`` or an
+    already-converged resume constructs the plan without any driver job
+    (round-7 advice). Past the bound the fix is to rescale weights to
+    coarser units upstream. The superstep plan shape
     is unchanged: the vote aggregation sums ``w`` instead of counting
     rows."""
     spark = edges.sparkSession
     ckpt = SuperstepCheckpoint(spark, checkpoint_dir, job_id)
 
+    check_weight_bound = None
     if weight is None:
         sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
             edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
@@ -54,31 +58,34 @@ def label_propagation(
         vote = F.count(F.lit(1))
     else:
         wc = F.col(weight).cast("double").alias("w")
-        sym = (
-            edges.select(F.col(src).alias("u"), F.col(dst).alias("v"), wc)
-            .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v"), wc))
-            .groupBy("u", "v")
-            .agg(F.sum("w").alias("w"))
-            .persist()
+        raw_sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"), wc).union(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"), wc)
         )
+        sym = raw_sym.groupBy("u", "v").agg(F.sum("w").alias("w")).persist()
         vote = F.sum("w")
-        # enforce the 2^53 exactness bound on per-vertex vote totals (any
-        # per-(vertex, label) vote sum is <= the vertex's total incoming
-        # weight, and |x|+|y| exact in double implies x+y exact): see the
-        # docstring's determinism caveat
-        max_tot = (
-            sym.groupBy("u")
-            .agg(F.sum(F.abs(F.col("w"))).alias("tot"))
-            .agg(F.max("tot"))
-            .collect()[0][0]
-        )
-        if max_tot is not None and max_tot >= 2.0**53:
-            raise ValueError(
-                f"label_propagation weight column {weight!r}: max per-vertex "
-                f"incoming weight total {max_tot:.3e} >= 2^53, so double vote "
-                "sums are no longer exact and tie-breaks become shuffle-order-"
-                "dependent — rescale weights to coarser units upstream"
+
+        def check_weight_bound() -> None:
+            # enforce the 2^53 exactness bound on per-vertex vote totals (any
+            # per-(vertex, label) vote sum is <= the vertex's total incoming
+            # weight, and Σ|x| exact in double implies every partial Σx is):
+            # see the docstring's determinism caveat. Summed from the RAW
+            # symmetrized weights (round-7 advice) — abs over the per-(u, v)
+            # groupBy sums would let mixed-sign weights that cancel within a
+            # pair slip under the bound even though their partial sums still
+            # exceed 2^53 during aggregation.
+            max_tot = (
+                raw_sym.groupBy("u")
+                .agg(F.sum(F.abs(F.col("w"))).alias("tot"))
+                .agg(F.max("tot"))
+                .collect()[0][0]
             )
+            if max_tot is not None and max_tot >= 2.0**53:
+                raise ValueError(
+                    f"label_propagation weight column {weight!r}: max per-vertex "
+                    f"incoming weight total {max_tot:.3e} >= 2^53, so double vote "
+                    "sums are no longer exact and tie-breaks become shuffle-order-"
+                    "dependent — rescale weights to coarser units upstream"
+                )
 
     if vertices is not None:
         verts = vertices.select(F.col(vertices.columns[0]).alias("id")).distinct()
@@ -95,6 +102,13 @@ def label_propagation(
                 start_iter = max_iter  # already converged
             else:
                 start_iter += 1
+
+    if check_weight_bound is not None and start_iter < max_iter:
+        # validation only gates the vote aggregation, so it runs lazily —
+        # only when at least one superstep will actually execute (round-7
+        # advice: no collect job at call time for max_iter=0 or an
+        # already-converged resume)
+        check_weight_bound()
 
     prev_state = None
     for k in range(start_iter, max_iter):

@@ -177,13 +177,18 @@ def pagerank(
         )
     state_cols = ["outdeg", "pv"] if personalized else ["outdeg"]
     verts_deg = verts_deg.repartition(num_partitions, "id").persist()
-    if weight is not None:
+
+    def check_weight_bound() -> None:
         # exactness bound (round-6 advice): the "integer weights sum exactly
         # in double" determinism/oracle-parity property only holds while
         # every per-source Σ_out w stays below 2^53 — past it, double sums
-        # become shuffle-order-dependent. Enforce, don't assume. The agg
-        # rides the persisted static state the first superstep needs anyway,
-        # so it costs one early materialization, not an extra edge pass.
+        # become shuffle-order-dependent. Enforce, don't assume. Weights are
+        # validated strictly positive above, so outdeg = Σ_out w IS the
+        # abs-sum bound. Called only when a superstep will actually run
+        # (round-7 advice: max_iter=0 / an already-converged resume builds
+        # the plan without this extra driver job); in the running case the
+        # agg rides the persisted static state the first superstep needs
+        # anyway, so it costs one early materialization, not an edge pass.
         max_wsum = verts_deg.agg(F.max("outdeg")).collect()[0][0]
         if max_wsum is not None and max_wsum >= 2.0**53:
             raise ValueError(
@@ -224,13 +229,19 @@ def pagerank(
     if resume:
         latest = ckpt.latest()
         if latest is not None:
-            start_iter, state, _ = latest
+            start_iter, state, m = latest
             ranks = (
                 state.select("id", "rank")
                 .join(verts_deg.select("id", *state_cols), "id", "left")
                 .fillna(0, subset=["outdeg"])
             )
-            start_iter += 1
+            if m.get("l1") is not None and m["l1"] < tol:
+                start_iter = max_iter  # already converged: no further supersteps
+            else:
+                start_iter += 1
+
+    if weight is not None and start_iter < max_iter:
+        check_weight_bound()
 
     if mode == "blocks":
         return _pagerank_blocks(

@@ -8,6 +8,10 @@ parse exactly):
 * **image / codec="ppm"** — binary PPM (P6, maxval 255): header parse +
   reshape to (h, w, 3), nearest-neighbor resize to a fixed grid, grayscale
   flatten as the feature vector.
+* **image / codec="png"** — PNG (stdlib zlib + critical-chunk walk):
+  8-bit, non-interlaced, grayscale/RGB/RGBA (color types 0/2/6), all five
+  scanline filters (None/Sub/Up/Average/Paeth) with CRC verification —
+  the one ubiquitous image format; everything richer still fails loud.
 * **audio / codec="wav"** — RIFF/WAVE PCM 16-bit: chunk walk to the ``data``
   chunk, int16 → float, per-window RMS envelope as the feature vector.
 
@@ -97,6 +101,140 @@ def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return img[rows][:, cols]
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(img: np.ndarray, *, filter_type: int = 0) -> bytes:
+    """(h, w) grayscale / (h, w, 3) RGB / (h, w, 4) RGBA uint8 → PNG
+    (8-bit, non-interlaced, stdlib zlib). ``filter_type`` selects the
+    per-scanline filter: 0 (None), 1 (Sub), or 2 (Up) — enough for tests to
+    exercise the decoder's distinct unfilter paths from independently-built
+    bytes (Average/Paeth are covered decoder-side via handcrafted rows)."""
+    import zlib
+
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        ct, arr = 0, img[:, :, None]
+    elif img.ndim == 3 and img.shape[2] == 3:
+        ct, arr = 2, img
+    elif img.ndim == 3 and img.shape[2] == 4:
+        ct, arr = 6, img
+    else:
+        raise ValueError(f"unsupported image shape {img.shape}")
+    h, w, ch = arr.shape
+    raw = bytearray()
+    prev = np.zeros((w, ch), dtype=np.int16)
+    for r in range(h):
+        row = arr[r].astype(np.int16)
+        if filter_type == 0:
+            filt = row
+        elif filter_type == 1:  # Sub: minus reconstructed left
+            left = np.vstack([np.zeros((1, ch), np.int16), row[:-1]])
+            filt = (row - left) % 256
+        elif filter_type == 2:  # Up: minus reconstructed above
+            filt = (row - prev) % 256
+        else:
+            raise NotImplementedError("encode_png supports filter types 0/1/2")
+        raw.append(filter_type)
+        raw.extend(filt.astype(np.uint8).tobytes())
+        prev = row
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG → uint8 array: (h, w) for grayscale, (h, w, 3) RGB, (h, w, 4)
+    RGBA. Stdlib-only (zlib inflate + critical-chunk walk), 8-bit,
+    non-interlaced; all five scanline filters (None/Sub/Up/Average/Paeth)
+    are unfiltered per the PNG spec, critical-chunk CRCs are verified, and
+    every unsupported variant (16-bit, palette, Adam7) raises at the exact
+    point a richer decoder would plug in — fail loud, not wrong."""
+    import zlib
+
+    if not data.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload (missing signature)")
+    i = 8
+    w = h = ct = None
+    idat = bytearray()
+    while i + 12 <= len(data):
+        (ln,) = struct.unpack(">I", data[i : i + 4])
+        tag = data[i + 4 : i + 8]
+        body = data[i + 8 : i + 8 + ln]
+        if tag in (b"IHDR", b"PLTE", b"IDAT", b"IEND"):
+            (crc,) = struct.unpack(">I", data[i + 8 + ln : i + 12 + ln])
+            if (zlib.crc32(tag + body) & 0xFFFFFFFF) != crc:
+                raise ValueError(f"PNG {tag.decode()} chunk CRC mismatch")
+        if tag == b"IHDR":
+            w, h, bd, ct, comp, filt, interlace = struct.unpack(">IIBBBBB", body)
+            if bd != 8:
+                raise NotImplementedError("only 8-bit PNG supported")
+            if ct not in (0, 2, 6):
+                raise NotImplementedError(
+                    "only grayscale/RGB/RGBA PNG supported (color types 0/2/6; "
+                    "palette images need a PLTE decoder)"
+                )
+            if interlace != 0:
+                raise NotImplementedError("interlaced (Adam7) PNG not supported")
+            if comp != 0 or filt != 0:
+                raise ValueError("invalid PNG compression/filter method")
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+        i += 12 + ln
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunk")
+    ch = {0: 1, 2: 3, 6: 4}[ct]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG pixel payload size mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for r in range(h):
+        ft = raw[r * (1 + stride)]
+        line = np.frombuffer(raw, np.uint8, stride, r * (1 + stride) + 1).astype(np.int32)
+        if ft == 0:  # None
+            cur = line
+        elif ft == 2:  # Up: whole-row vector add
+            cur = (line + prev) % 256
+        elif ft in (1, 3, 4):  # Sub / Average / Paeth: sequential in x
+            cur = np.zeros(stride, dtype=np.int32)
+            for k in range(stride):
+                a = int(cur[k - ch]) if k >= ch else 0  # reconstructed left
+                b = int(prev[k])  # reconstructed above
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + b) // 2
+                else:
+                    c = int(prev[k - ch]) if k >= ch else 0  # above-left
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[k] = (line[k] + pred) % 256
+        else:
+            raise ValueError(f"invalid PNG scanline filter type {ft}")
+        out[r] = cur.astype(np.uint8)
+        prev = cur
+    arr = out.reshape(h, w, ch)
+    return arr[:, :, 0] if ct == 0 else arr
+
+
 def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
     """float [-1, 1] (or int16) mono samples → RIFF/WAVE PCM16."""
     s = np.asarray(samples)
@@ -144,10 +282,26 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
 # feature extraction per modality (pure numpy, fixed output dim)
 # ---------------------------------------------------------------------------
 
+def decode_image(payload: bytes) -> np.ndarray:
+    """Sniff the container from magic bytes and decode → (h, w, 3) uint8 RGB
+    (grayscale broadcast across channels, RGBA alpha dropped)."""
+    if payload.startswith(b"P6"):
+        return decode_ppm(payload)
+    if payload.startswith(_PNG_SIG):
+        img = decode_png(payload)
+        if img.ndim == 2:
+            return np.repeat(img[:, :, None], 3, axis=2)
+        return img[:, :, :3]
+    raise NotImplementedError(
+        "no dependency-free decoder for this image payload (magic bytes match "
+        "neither PPM P6 nor PNG); richer codecs need PIL"
+    )
+
+
 def _image_features(payload: bytes, dim: int) -> np.ndarray:
     """Decode → nearest-neighbor resize to a ~sqrt(dim) grid → grayscale
     flatten, padded/truncated to exactly ``dim`` (in [0, 1])."""
-    img = decode_ppm(payload)
+    img = decode_image(payload)
     side = max(int(np.sqrt(dim)), 1)
     small = resize_nearest(img, side, side).astype(np.float64)
     gray = (small @ np.array([0.299, 0.587, 0.114])) / 255.0
@@ -184,22 +338,28 @@ def synthetic_assets(spark, n: int = 100, seed: int = 42, real: bool = False) ->
     """Deterministic asset table exercising the binary column path.
 
     ``real=False``: opaque random payloads (plumbing tests, fake features).
-    ``real=True``: decodable payloads — PPM images and PCM16 WAV audio —
-    with matching metadata (video stays opaque: no dependency-free codec)."""
+    ``real=True``: decodable payloads — PPM and PNG images (alternating, PNG
+    with Sub/Up filtered scanlines) and PCM16 WAV audio — with matching
+    metadata (video stays opaque: no dependency-free codec)."""
     rng = np.random.default_rng(seed)
     rows = []
     for i in range(n):
         mt = ["image", "audio", "video"][i % 3]
         if real and mt == "image":
             img = rng.integers(0, 256, size=(12, 16, 3), dtype=np.uint8)
-            payload, meta = encode_ppm(img), (16, 12, None, "ppm")
+            if (i // 3) % 2 == 0:
+                payload, meta = encode_ppm(img), (16, 12, None, "ppm")
+            else:
+                payload = encode_png(img, filter_type=1 + ((i // 6) % 2))
+                meta = (16, 12, None, "png")
         elif real and mt == "audio":
             t = np.arange(1600) / 16000.0
             wave = 0.5 * np.sin(2 * np.pi * (200 + 50 * (i % 5)) * t)
             payload, meta = encode_wav(wave), (None, None, 100, "wav")
         else:
             payload = rng.integers(0, 256, size=64, dtype=np.uint8).tobytes()
-            meta = (64, 48, 1000 + i, "fake") if mt != "image" else (64, 48, None, "png")
+            # "jpeg" deliberately: a codec the real path must fail loud on
+            meta = (64, 48, 1000 + i, "fake") if mt != "image" else (64, 48, None, "jpeg")
         rows.append((i, mt, bytearray(payload), meta))
     return spark.createDataFrame(rows, ASSET_SCHEMA)
 
@@ -229,7 +389,7 @@ def extract_features(
                     feats.append(_fake_features(payload, dim).tolist())
                     continue
                 codec = (meta["codec"] if meta is not None else None) or ""
-                if mt == "image" and codec == "ppm":
+                if mt == "image" and codec in ("ppm", "png"):
                     feats.append(_image_features(payload, dim).tolist())
                 elif mt == "audio" and codec == "wav":
                     feats.append(_audio_features(payload, dim).tolist())
@@ -237,7 +397,8 @@ def extract_features(
                     raise NotImplementedError(
                         f"no dependency-free decoder for media_type={mt!r} "
                         f"codec={codec!r}; supported real paths: image/ppm, "
-                        "audio/wav (richer codecs need PIL/torchaudio/pyav)"
+                        "image/png, audio/wav (richer codecs need "
+                        "PIL/torchaudio/pyav)"
                     )
             yield pd.DataFrame(
                 {

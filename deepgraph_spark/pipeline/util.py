@@ -2,7 +2,31 @@
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
+
+# Logical-plan nodes that introduce (or follow) a shuffle exchange: when any
+# of these sits above the file scan, the DataFrame's partitioning is already
+# governed by spark.sql.shuffle.partitions, not by the scan's split count —
+# an extra repartition there is a redundant mid-pipeline exchange.
+_WIDE_NODE_RE = re.compile(
+    r"^[\s+:|-]*(?:Join|Aggregate|RepartitionByExpression|Repartition\b"
+    r"|Sort|Window|Deduplicate|Distinct|Intersect|Except|CoGroup"
+    r"|FlatMapGroupsInPandas|FlatMapCoGroupsInPandas)",
+    re.MULTILINE,
+)
+
+
+def _is_bare_scan(df: DataFrame) -> bool:
+    """True when the analyzed logical plan is a narrow chain over the file
+    scan (Project/Filter/generators only) — i.e. the scan's split count is
+    what actually decides this DataFrame's parallelism."""
+    try:
+        tree = df._jdf.queryExecution().analyzed().treeString()
+    except Exception:
+        return False
+    return _WIDE_NODE_RE.search(tree) is None
 
 
 def reparallelize_small_scan(df: DataFrame, key_col: str) -> DataFrame:
@@ -19,13 +43,21 @@ def reparallelize_small_scan(df: DataFrame, key_col: str) -> DataFrame:
     ``df.rdd.getNumPartitions()`` it never triggers AQE stage execution on a
     composed upstream plan; non-file upstreams report no files and are left
     alone (their partitioning already comes from shuffle exchanges sized by
-    ``spark.sql.shuffle.partitions``)."""
+    ``spark.sql.shuffle.partitions``).
+
+    Composed plans are left alone too (round-7 advice): ``inputFiles()``
+    reports the LEAF scan's files even when joins/aggregates already sit
+    between the scan and this point — there the upstream exchanges have
+    already set the parallelism and a repartition would be a redundant
+    mid-pipeline shuffle. The gate is a narrow-chain check on the analyzed
+    logical plan (:func:`_is_bare_scan`), so the helper stays safe to call
+    from shared low-level builders."""
     sc = df.sparkSession.sparkContext
     want = sc.defaultParallelism
     try:
         n_files = len(df.inputFiles())
     except Exception:  # non-file or unresolvable plans: leave untouched
         return df
-    if 0 < n_files < want:
+    if 0 < n_files < want and _is_bare_scan(df):
         return df.repartition(want, key_col)
     return df

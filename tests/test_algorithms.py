@@ -373,3 +373,41 @@ def test_weighted_lpa_rejects_sums_past_2_53(spark):
     )
     with pytest.raises(ValueError, match="2\\^53"):
         label_propagation(e, max_iter=2, weight="w")
+
+
+def test_lpa_weight_guard_lazy_and_raw_abs(spark):
+    """The 2^53 vote-exactness guard (round-7 advice): no driver job — and no
+    raise — when no superstep will run (max_iter=0); computed from RAW
+    symmetrized weights, so mixed-sign weights that cancel within a (u, v)
+    pair still trip it."""
+    big = 2.0**53
+    e = spark.createDataFrame([(1, 2, big), (2, 3, big)], "s long, t long, w double")
+    out = label_propagation(e, weight="w", max_iter=0).toPandas()
+    assert set(out.label) == {1, 2, 3}
+
+    with pytest.raises(ValueError, match=r"2\^53"):
+        label_propagation(e, weight="w", max_iter=2)
+
+    # per-(u,v) sums cancel to 0, but the raw |w| totals are 2^54
+    e2 = spark.createDataFrame([(1, 2, big), (1, 2, -big)], "s long, t long, w double")
+    with pytest.raises(ValueError, match=r"2\^53"):
+        label_propagation(e2, weight="w", max_iter=2)
+
+
+def test_pagerank_resume_converged_is_noop(spark, tmp_path):
+    """Resuming an already-converged run returns identical ranks and runs no
+    further supersteps (no new checkpoint files, no guard job)."""
+    edges = random_digraph(40, 100, 3)
+    e, v = _dfs(spark, edges, 40)
+    ckdir = str(tmp_path / "ck")
+    full, _ = pagerank(e, vertices=v, tol=1e-6, checkpoint_dir=ckdir, job_id="conv")
+    full_pd = full.toPandas().sort_values("id")["rank"].values
+    n_files = len(glob.glob(os.path.join(ckdir, "conv", "iter_*.json")))
+    assert n_files > 0
+
+    again, _ = pagerank(
+        e, vertices=v, tol=1e-6, checkpoint_dir=ckdir, job_id="conv", resume=True
+    )
+    again_pd = again.toPandas().sort_values("id")["rank"].values
+    assert np.allclose(again_pd, full_pd, atol=0)
+    assert len(glob.glob(os.path.join(ckdir, "conv", "iter_*.json"))) == n_files

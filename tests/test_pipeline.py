@@ -410,3 +410,245 @@ def test_semantic_dedup_cluster_guard(spark, emb):
 
     with pytest.raises(ValueError, match="max_cluster_rows"):
         semantic_dedup(emb, centroid_mod=10_000, max_cluster_rows=50)
+
+
+def test_codebook_fixed_size_mode(spark, emb):
+    """n_centroids= (absolute, open-scale codebook) must equal the
+    centroid_mod= form at the helper's derived modulus — identical output
+    for both SemDeDup and IVF, since the only difference is where the
+    modulus literal comes from."""
+    from deepgraph_spark.pipeline import ann_topk_ivf, semantic_dedup
+    from deepgraph_spark.pipeline.dedup import _codebook_mod, _emb_base
+
+    n = emb.count()
+    k = 24
+    mod = max(1, n // k)
+    base = _emb_base(emb, "embedding", "vec_id", [])
+    assert _codebook_mod(base, "vec_id", 1000, k) == mod
+    # derived-modulus codebook size stays O(k) by construction
+    n_cents = emb.where(F.col("vec_id") % mod == 0).count()
+    assert 0 < n_cents <= 2 * k
+
+    a = semantic_dedup(emb, threshold=0.4, n_centroids=k).toPandas()
+    b = semantic_dedup(emb, threshold=0.4, centroid_mod=mod).toPandas()
+    assert dict(zip(a.vec_id, a.cluster)) == dict(zip(b.vec_id, b.cluster))
+    assert len(a) > 0
+
+    ia = (
+        ann_topk_ivf(emb, k=5, n_centroids=k, nprobe=3)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    ib = (
+        ann_topk_ivf(emb, k=5, centroid_mod=mod, nprobe=3)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(ia, ib)
+
+
+def test_codebook_fixed_size_plan_shape(spark, emb):
+    """The two codebook modes compile to the SAME physical plan — only the
+    modulus literal differs (digits stripped, the explain strings match)."""
+    import contextlib
+    import io
+    import re
+
+    from deepgraph_spark.pipeline import ann_topk_ivf
+
+    n = emb.count()
+    mod = max(1, n // 24)
+
+    def shape(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return re.sub(r"\d+", "", buf.getvalue())
+
+    pa = shape(ann_topk_ivf(emb, k=5, n_centroids=24, nprobe=2))
+    pb = shape(ann_topk_ivf(emb, k=5, centroid_mod=mod, nprobe=2))
+    assert pa == pb
+
+
+def test_semantic_dedup_kmeans_refinement(spark, emb):
+    """kmeans_iters=0 is byte-identical to the default path; a refined
+    codebook still yields a valid SemDeDup clustering (labels are min-id of
+    their component, and every member has a >= tau partner in its cluster)."""
+    from deepgraph_spark.pipeline import semantic_dedup
+
+    tau = 0.4
+    d0 = semantic_dedup(emb, threshold=tau, centroid_mod=25).toPandas()
+    it0 = semantic_dedup(emb, threshold=tau, centroid_mod=25, kmeans_iters=0).toPandas()
+    assert dict(zip(it0.vec_id, it0.cluster)) == dict(zip(d0.vec_id, d0.cluster))
+
+    got = semantic_dedup(emb, threshold=tau, centroid_mod=25, kmeans_iters=2).toPandas()
+    assert len(got) > 0
+    pdf = emb.toPandas()
+    m = np.array([np.asarray(x, dtype=np.float64) for x in pdf.embedding.values])
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = np.round(mn @ mn.T, 6)
+    row_of = {int(v): i for i, v in enumerate(pdf.vec_id.values)}
+    for cluster, members in got.groupby("cluster")["vec_id"].apply(list).items():
+        assert cluster == min(members)
+        for v in members:
+            partners = [u for u in members if u != v]
+            assert any(sims[row_of[v], row_of[u]] >= tau for u in partners), (
+                cluster,
+                v,
+            )
+
+
+def test_reparallelize_small_scan_gates_on_bare_scans(spark, tmp_path):
+    """The small-scan repartition fires for a narrow chain over a few-file
+    scan, and stays out of composed plans whose parallelism is already set
+    by upstream shuffle exchanges (round-7 advice)."""
+    from deepgraph_spark.pipeline.util import _is_bare_scan, reparallelize_small_scan
+
+    # a fresh single-file parquet: other modules .cache() the shared test
+    # tables, and a cache-substituted relation reports no inputFiles() (the
+    # helper then correctly leaves partitioning to the cached data)
+    path = str(tmp_path / "one.parquet")
+    spark.range(100).selectExpr("id as doc_id", "'x' as text").coalesce(1).write.parquet(path)
+    df = spark.read.parquet(path)
+    bare = df.select("doc_id", "text").where(F.col("doc_id") >= 0)
+    assert _is_bare_scan(bare)
+    out = reparallelize_small_scan(bare, "doc_id")
+    assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+    composed = df.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    assert not _is_bare_scan(composed)
+    assert reparallelize_small_scan(composed, "doc_id") is composed
+
+    joined = bare.join(
+        df.select(F.col("doc_id").alias("doc_id2")),
+        F.col("doc_id") == F.col("doc_id2"),
+    )
+    assert not _is_bare_scan(joined)
+    assert reparallelize_small_scan(joined, "doc_id") is joined
+
+
+def test_png_codec_roundtrip_and_filters():
+    """PNG decoder: roundtrip across color types and encoder filters, plus
+    handcrafted Average/Paeth scanlines checked against an independent
+    scalar reference, CRC verification, and fail-loud unsupported variants."""
+    import struct
+    import zlib
+
+    from deepgraph_spark.pipeline.multimodal import _PNG_SIG, decode_png, encode_png
+
+    rng = np.random.default_rng(11)
+    gray = rng.integers(0, 256, size=(7, 5), dtype=np.uint8)
+    rgb = rng.integers(0, 256, size=(9, 6, 3), dtype=np.uint8)
+    rgba = rng.integers(0, 256, size=(4, 8, 4), dtype=np.uint8)
+    for img in (gray, rgb, rgba):
+        for ft in (0, 1, 2):
+            assert (decode_png(encode_png(img, filter_type=ft)) == img).all()
+
+    # Average (3) and Paeth (4): build the filtered stream with an
+    # independent scalar reference, then decode must invert it exactly
+    def ref_filter(ft, row, prev, ch):
+        out = []
+        for k in range(len(row)):
+            a = int(row[k - ch]) if k >= ch else 0
+            b = int(prev[k])
+            c = int(prev[k - ch]) if k >= ch else 0
+            if ft == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out.append((int(row[k]) - pred) % 256)
+        return bytes(out)
+
+    img = rng.integers(0, 256, size=(3, 4, 3), dtype=np.uint8)
+    flat = img.reshape(3, -1)
+    raw = b"\x00" + flat[0].tobytes()
+    raw += b"\x03" + ref_filter(3, flat[1], flat[0], 3)
+    raw += b"\x04" + ref_filter(4, flat[2], flat[1], 3)
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    png = (
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 3, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert (decode_png(png) == img).all()
+
+    # corrupted IDAT payload must fail the CRC check, not decode garbage
+    good = bytearray(encode_png(rgb))
+    idat_at = bytes(good).index(b"IDAT") + 6
+    good[idat_at] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        decode_png(bytes(good))
+
+    # unsupported variants raise at the plug-in point
+    with pytest.raises(NotImplementedError, match="8-bit"):
+        decode_png(
+            _PNG_SIG
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
+            + chunk(b"IEND", b"")
+        )
+    with pytest.raises(NotImplementedError, match="Adam7"):
+        decode_png(
+            _PNG_SIG
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
+            + chunk(b"IEND", b"")
+        )
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"JFIF....")
+
+
+def test_ngram_jaccard_prefix_equals_allpairs(spark, docs):
+    """Prefix filtering is lossless: at every threshold the candidate+verify
+    plan returns exactly the all-pairs result (pairs AND values), grouped and
+    ungrouped, including planted near-duplicates."""
+    pdf = docs.toPandas()
+    dups = pdf.head(4).copy()
+    dups["doc_id"] = dups["doc_id"] + 100000
+    dups["text"] = dups["text"] + " zq1"
+    planted = spark.createDataFrame(pd.concat([pdf, dups], ignore_index=True))
+
+    def canon(res):
+        return {
+            (int(r.a), int(r.b)): round(float(r.jaccard), 12)
+            for r in res.itertuples()
+        }
+
+    for tau in (0.1, 0.35, 0.6, 0.9):
+        ap = ngram_jaccard_pairs(
+            planted, group_cols=["source"], threshold=tau, method="allpairs"
+        ).toPandas()
+        pf = ngram_jaccard_pairs(
+            planted, group_cols=["source"], threshold=tau, method="prefix"
+        ).toPandas()
+        assert canon(ap) == canon(pf), f"tau={tau}"
+    assert len(ap) > 0  # the planted dups survive even tau=0.9
+
+    # ungrouped too
+    small = planted.limit(60)
+    ap = ngram_jaccard_pairs(small, threshold=0.3, method="allpairs").toPandas()
+    pf = ngram_jaccard_pairs(small, threshold=0.3, method="prefix").toPandas()
+    assert canon(ap) == canon(pf)
+
+    # auto: prefix at tau > 0 (no block guard), allpairs at tau = 0
+    big_block = ngram_jaccard_pairs(
+        planted, group_cols=["source"], threshold=0.5, max_block_rows=5
+    )
+    assert big_block.count() > 0  # prefix path: guard not applicable
+    with pytest.raises(ValueError, match="max_block_rows"):
+        ngram_jaccard_pairs(
+            planted, group_cols=["source"], threshold=0.0, max_block_rows=5
+        ).count()
+    with pytest.raises(ValueError, match="threshold > 0"):
+        ngram_jaccard_pairs(planted, method="prefix", threshold=0.0)
