@@ -10,9 +10,10 @@ weak CC, strong CC, depth-capped BFS, bit-exact integer-µs weighted SSSP,
 and k-hop ego nets), the Structured Streaming
 surface (bounded availableNow replays of the real streaming band join and
 session queries vs the batch SQL oracles), the corpus-curation family — graded
-through one composed seven-stage pipeline gate (PII redaction → lang-id →
-quality → MinHash near-dup removal → decontamination → hash split → shard
-packing, mirrored stage-for-stage in a single DuckDB oracle), with the
+through one composed nine-stage pipeline gate (PII redaction → lang-id →
+quality → MinHash near-dup removal → duplicate-span strip → SemDeDup
+semantic dedup → decontamination → hash split → shard packing, mirrored
+stage-for-stage in a single DuckDB oracle), with the
 four single-op curation gates (plus the brute-force ANN baseline, whose
 exact-cosine math the graded IVF/LSH/semantic-dedup gates re-verify) kept in
 a local-only overflow registry (``entry_queries.EXTRA_QUERIES``) because the

@@ -1001,20 +1001,55 @@ def q_redact_pii_documents(spark, sf_dir):
 CURATION_ALPHA_TAU = 0.815
 CURATION_CONTAM_TAU = 0.5
 CURATION_SHARD_BUDGET = 2000
+# semantic stage: centroids sampled at doc_id % 11 (the % 25 sample the
+# standalone SemDeDup gate uses is empty AMONG SURVIVORS — every 25th doc is
+# a 5th-multiple whose redacted PII sinks its alpha ratio below the quality
+# bar) and a 0.35 cosine cut (0.4 leaves one within-cluster pair among the
+# survivors; 0.35 makes the stage visibly drop documents)
+CURATION_SEM_TAU = 0.35
+CURATION_SEM_MOD = 11
+# 10-token boilerplate appended to every 9th doc: exactly the cross-document
+# duplicate-span shape the strip stage exists for — too small a fraction of
+# any one doc to trip the MinHash near-dup stage, so it must reach (and be
+# removed by) the span stage; all-alpha English so lang/quality verdicts
+# stay put
+CURATION_BOILERPLATE = (
+    "please subscribe to our newsletter for weekly updates and offers"
+)
+
+
+def _curation_docs(spark, sf_dir):
+    """The curation gate's corpus: the PII-injected fixture plus the shared
+    boilerplate sentence on every 9th doc (see ``CURATION_BOILERPLATE``)."""
+    docs = _pii_injected_docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 9 == 0, F.lit(" " + CURATION_BOILERPLATE)
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
 
 
 def q_curation_pipeline_documents(spark, sf_dir):
     """Composed end-to-end curation gate — the pipeline a 100 TB corpus runs
     before training, as ONE plan: PII redaction → lang-id filter ('en') →
     quality filter (alpha_ratio ≥ 0.815) → MinHash-LSH near-dup removal
-    (keep cluster canonicals) → 8-gram decontamination vs a held-out eval
-    slice (every 17th doc) → deterministic 90/5/5 hash split (keep train) →
-    2000-token shard packing. Proves operator *composition*, not just each
-    stage: every inter-stage boundary is an id-keyed semi/anti join, and the
-    oracle mirrors all seven stages in one DuckDB query."""
+    (keep cluster canonicals) → cross-document duplicate-span strip (rewrites
+    survivor text, so every later stage reads stripped text) → SemDeDup
+    semantic dedup over the survivors' embedding rows (vec_id = doc_id,
+    centroids vec_id % 25, cosine ≥ 0.4 closed transitively) → 8-gram
+    decontamination vs a held-out eval slice (every 17th doc) →
+    deterministic 90/5/5 hash split (keep train) → 2000-token shard packing.
+    Proves operator *composition*, not just each stage: every inter-stage
+    boundary is an id-keyed semi/anti join, and the oracle mirrors all nine
+    stages in one DuckDB query (round-7 verdict: the span-strip and semantic
+    stages joined the composed gate this round)."""
     from deepgraph_spark.pipeline import curation_pipeline
 
-    docs = _pii_injected_docs(spark, sf_dir)
+    docs = _curation_docs(spark, sf_dir)
     corpus = docs.where(F.col("doc_id") % 17 != 0)
     eval_set = docs.where(F.col("doc_id") % 17 == 0)
     out = curation_pipeline(
@@ -1029,6 +1064,11 @@ def q_curation_pipeline_documents(spark, sf_dir):
         split_seed=42,
         keep_split="train",
         shard_budget=CURATION_SHARD_BUDGET,
+        strip_spans=True,
+        span_window=8,
+        embeddings=_t(spark, sf_dir, "embeddings"),
+        semantic_threshold=CURATION_SEM_TAU,
+        semantic_centroid_mod=CURATION_SEM_MOD,
     )
     return out.select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -1888,48 +1928,67 @@ ORACLES["dup_span_stats_documents"] = f"""
     FROM d LEFT JOIN per ON per.doc_id = d.doc_id
 """
 
-ORACLES["strip_dup_spans_documents"] = f"""
-    WITH d AS (
-        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+def _span_strip_ctes(source: str, p: str = "st") -> str:
+    """The cross-document duplicate-span strip as a chain of CTE definitions
+    (names prefixed with ``p``, reading docs from CTE/table ``source``),
+    ending in ``{p}out(doc_id BIGINT, text)`` — reused by the standalone
+    ``strip_dup_spans_documents`` gate and, pointed at the survivor CTE, by
+    the composed curation-pipeline oracle."""
+    return f"""
+    {p}d AS MATERIALIZED (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM {source}
     ),
-    w AS (
+    {p}w AS MATERIALIZED (
         SELECT doc_id, j AS start,
                ('0x' || substr(md5(array_to_string(
                     list_slice(toks, j + 1, j + {_SPAN_W}), ' ')), 1, 15))::BIGINT AS gh
-        FROM d, LATERAL unnest(range(len(toks) - {_SPAN_W - 1})) AS t(j)
+        FROM {p}d, LATERAL unnest(range(len(toks) - {_SPAN_W - 1})) AS t(j)
         WHERE len(toks) >= {_SPAN_W}
     ),
-    dup AS (SELECT gh FROM w GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2),
-    occ AS (SELECT w.doc_id, w.start, w.gh FROM w SEMI JOIN dup USING (gh)),
-    oc2 AS (
+    {p}dup AS MATERIALIZED (
+        SELECT gh FROM {p}w GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    {p}occ AS MATERIALIZED (
+        SELECT {p}w.doc_id, {p}w.start, {p}w.gh FROM {p}w SEMI JOIN {p}dup USING (gh)
+    ),
+    {p}oc2 AS MATERIALIZED (
         SELECT doc_id, start,
                ROW_NUMBER() OVER (PARTITION BY gh ORDER BY doc_id, start) = 1 AS is_canon
-        FROM occ
+        FROM {p}occ
     ),
-    cov AS (
+    {p}cov AS MATERIALIZED (
         SELECT doc_id, start + k AS p, is_canon
-        FROM oc2, LATERAL unnest(range({_SPAN_W})) AS u(k)
+        FROM {p}oc2, LATERAL unnest(range({_SPAN_W})) AS u(k)
     ),
-    cv AS (
+    {p}cv AS MATERIALIZED (
         SELECT doc_id, p,
                MAX(CASE WHEN is_canon THEN 1 ELSE 0 END) AS canon_cov,
                MAX(CASE WHEN is_canon THEN 0 ELSE 1 END) AS other_cov
-        FROM cov GROUP BY doc_id, p
+        FROM {p}cov GROUP BY doc_id, p
     ),
-    pos AS (
+    {p}pos AS MATERIALIZED (
         SELECT doc_id, p, toks[p + 1] AS tok
-        FROM d, LATERAL unnest(range(len(toks))) AS u(p)
+        FROM {p}d, LATERAL unnest(range(len(toks))) AS u(p)
     ),
-    kept AS (
-        SELECT pos.doc_id, pos.p, pos.tok
-        FROM pos LEFT JOIN cv ON cv.doc_id = pos.doc_id AND cv.p = pos.p
-        WHERE NOT COALESCE(cv.other_cov = 1 AND cv.canon_cov = 0, FALSE)
+    {p}kept AS MATERIALIZED (
+        SELECT {p}pos.doc_id, {p}pos.p, {p}pos.tok
+        FROM {p}pos LEFT JOIN {p}cv
+          ON {p}cv.doc_id = {p}pos.doc_id AND {p}cv.p = {p}pos.p
+        WHERE NOT COALESCE({p}cv.other_cov = 1 AND {p}cv.canon_cov = 0, FALSE)
     ),
-    agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text
-            FROM kept GROUP BY doc_id)
-    SELECT CAST(d.doc_id AS BIGINT) AS doc_id, COALESCE(agg.text, '') AS text
-    FROM d LEFT JOIN agg ON agg.doc_id = d.doc_id
-"""
+    {p}agg AS MATERIALIZED (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text
+        FROM {p}kept GROUP BY doc_id
+    ),
+    {p}out AS MATERIALIZED (
+        SELECT CAST({p}d.doc_id AS BIGINT) AS doc_id, COALESCE({p}agg.text, '') AS text
+        FROM {p}d LEFT JOIN {p}agg ON {p}agg.doc_id = {p}d.doc_id
+    )"""
+
+
+ORACLES["strip_dup_spans_documents"] = (
+    "WITH " + _span_strip_ctes("documents") + "\n    SELECT doc_id, text FROM stout"
+)
 
 ORACLES["repetition_stats_documents"] = """
     WITH d AS (
@@ -2111,10 +2170,15 @@ ORACLES["redact_pii_documents"] = """
 
 
 def _curation_pipeline_oracle_sql() -> str:
-    """All seven curation stages in one DuckDB query: the injection fixture,
+    """All nine curation stages in one DuckDB query: the injection fixture,
     redaction, lang/quality filters, the FULL MinHash-LSH mirror (pointed at
-    the survivor CTE) closed transitively by a recursive CTE, 8-gram
-    decontamination, the md5 hash split, and the running-sum shard window."""
+    the survivor CTE) closed transitively by a recursive CTE, the
+    duplicate-span strip chain (pointed at the near-dup survivors — it
+    REWRITES text, so decontamination grams / token counts / shard packing
+    downstream all read the stripped text), the SemDeDup mirror over the
+    survivors' embedding rows (assignment argmax + within-cluster cosine cut
+    + its own recursive closure), 8-gram decontamination, the md5 hash
+    split, and the running-sum shard window."""
     return f"""
 WITH inj AS MATERIALIZED (
     SELECT doc_id,
@@ -2125,6 +2189,9 @@ WITH inj AS MATERIALIZED (
            || CASE WHEN doc_id % 5 = 0
                    THEN ' from 10.1.2.' || (doc_id % 250)::VARCHAR
                         || ' tel +14155550' || (doc_id % 100)::VARCHAR
+                   ELSE '' END
+           || CASE WHEN doc_id % 9 = 0
+                   THEN ' {CURATION_BOILERPLATE}'
                    ELSE '' END AS text
     FROM documents
 ),
@@ -2180,6 +2247,53 @@ dup_drop AS MATERIALIZED (
 surv2 AS MATERIALIZED (
     SELECT * FROM lq WHERE doc_id NOT IN (SELECT doc_id FROM dup_drop)
 ),
+{_span_strip_ctes("surv2", p="sp")},
+semv AS MATERIALIZED (
+    SELECT vec_id, embedding::DOUBLE[] AS ve,
+           list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS sq
+    FROM embeddings WHERE vec_id IN (SELECT doc_id FROM spout)
+),
+semc AS MATERIALIZED (
+    SELECT vec_id AS cid, ve AS cv, sq AS cs
+    FROM semv WHERE vec_id % {CURATION_SEM_MOD} = 0
+),
+semb AS MATERIALIZED (
+    SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY ROUND(list_dot_product(v.ve, c.cv)
+                                  / (SQRT(v.sq) * SQRT(c.cs)), 6) DESC,
+                            c.cid ASC) AS arank
+        FROM semv v CROSS JOIN semc c
+    ) WHERE arank = 1
+),
+sem_drop AS MATERIALIZED (
+    SELECT doc_id FROM (
+        SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster FROM (
+            WITH RECURSIVE semp AS MATERIALIZED (
+                SELECT l.vec_id AS a, r.vec_id AS b
+                FROM semb l JOIN semb r ON l.cid = r.cid AND l.vec_id < r.vec_id
+                JOIN semv q ON q.vec_id = l.vec_id
+                JOIN semv n ON n.vec_id = r.vec_id
+                WHERE ROUND(list_dot_product(q.ve, n.ve)
+                            / (SQRT(q.sq) * SQRT(n.sq)), 6) >= {CURATION_SEM_TAU}
+            ),
+            semsym AS MATERIALIZED (
+                SELECT a AS u, b AS v FROM semp UNION SELECT b, a FROM semp
+            ),
+            semreach(u, v) AS (
+                SELECT u, v FROM semsym
+                UNION
+                SELECT r.u, s.v FROM semreach r JOIN semsym s ON r.v = s.u
+            )
+            SELECT u, v FROM semreach
+        ) GROUP BY u
+    ) WHERE cluster != doc_id
+),
+surv2c AS MATERIALIZED (
+    SELECT * FROM spout WHERE doc_id NOT IN (SELECT doc_id FROM sem_drop)
+),
 cg AS MATERIALIZED (
     SELECT DISTINCT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gh
     FROM (
@@ -2189,7 +2303,7 @@ cg AS MATERIALIZED (
                       j -> array_to_string(list_slice(toks, j + 1, j + 8), ' '))
                  ELSE [array_to_string(toks, ' ')] END) AS gram
         FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
-              FROM surv2)
+              FROM surv2c)
     )
 ),
 eg AS MATERIALIZED (
@@ -2210,7 +2324,7 @@ hit AS MATERIALIZED (
 ),
 surv3 AS MATERIALIZED (
     SELECT s.doc_id, s.text
-    FROM surv2 s JOIN tot t ON t.doc_id = s.doc_id
+    FROM surv2c s JOIN tot t ON t.doc_id = s.doc_id
     LEFT JOIN hit h ON h.doc_id = s.doc_id
     WHERE CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE) / t.n_grams
           < {CURATION_CONTAM_TAU}

@@ -216,27 +216,46 @@ def curation_pipeline(
     split_seed: int = 42,
     keep_split: str = "train",
     shard_budget: int = 2000,
+    strip_spans: bool = False,
+    span_window: int = 8,
+    embeddings: DataFrame | None = None,
+    emb_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    semantic_threshold: float = 0.85,
+    semantic_centroid_mod: int = 1000,
+    semantic_n_centroids: int | None = None,
 ) -> DataFrame:
     """The end-to-end curation pipeline a 100 TB corpus actually runs before
     training, composed from this package's own operators:
 
     PII redaction → language-ID filter → quality (alpha-ratio) filter →
     MinHash-LSH near-dup removal (keep one canonical doc per duplicate
-    cluster) → benchmark decontamination against ``eval_set`` → deterministic
-    hash split (keep ``keep_split``) → token-budget shard packing.
+    cluster) → [``strip_spans=True``: cross-document duplicate-span removal
+    over the survivors — the ExactSubstr pass that rewrites text, so every
+    later stage (decontamination grams, token counts, shard packing) sees
+    the stripped text] → [``embeddings`` given: SemDeDup semantic dedup over
+    the survivors' embedding rows (joined ``emb_id_col`` = doc id), dropping
+    non-canonical members of each semantic cluster] → benchmark
+    decontamination against ``eval_set`` → deterministic hash split (keep
+    ``keep_split``) → token-budget shard packing.
 
     Returns ``(id, n_tokens, shard)`` for the surviving documents. The point
     of the composed form (vs each operator's own gate) is that the stages
     compose *as DataFrame plans*: every inter-stage boundary is an id-keyed
     semi/anti join of narrow key rows, so Catalyst sees one lazy plan and the
     only wide exchanges are the ones each stage owns (LSH band shuffle, gram
-    hash join, the single range exchange in :func:`pack_shards`).
+    hash join, the single range exchange in :func:`pack_shards`). The one
+    exception is the semantic stage: its connected-component closure is an
+    iterative kernel that materializes internally (documented at
+    :func:`deepgraph_spark.pipeline.dedup.semantic_dedup`) — the stage's
+    boundary is still an id-keyed anti join.
 
     Scale shape per stage is unchanged from the individual operators —
     documented at their definitions; nothing here adds a shuffle beyond the
     id-keyed filters.
     """
-    from deepgraph_spark.pipeline.dedup import neardup_clusters
+    from deepgraph_spark.pipeline.dedup import neardup_clusters, semantic_dedup
+    from deepgraph_spark.pipeline.spandedup import strip_duplicate_spans
     from deepgraph_spark.pipeline.textstats import lang_id, text_quality
 
     # 1. redact PII on both sides (before dedup, so redacted boilerplate
@@ -269,6 +288,32 @@ def curation_pipeline(
         hash_fn=hash_fn,
     ).where(F.col("cluster") != F.col(id_col))
     surv2 = surv1.join(drops.select(id_col), id_col, "left_anti")
+
+    # 4b. optional: cross-document duplicate-span removal over the survivors —
+    #     rewrites text, so decontamination grams / token counts / shard
+    #     packing all see the stripped text
+    if strip_spans:
+        surv2 = strip_duplicate_spans(
+            surv2, text_col=text_col, id_col=id_col, window=span_window
+        )
+
+    # 4c. optional: SemDeDup semantic dedup over the survivors' embeddings
+    #     (keep cluster canonicals, same keep rule as the MinHash stage)
+    if embeddings is not None:
+        emb_surv = embeddings.join(
+            surv2.select(F.col(id_col).alias(emb_id_col)), emb_id_col, "left_semi"
+        )
+        sem_drops = semantic_dedup(
+            emb_surv,
+            vec_col=vec_col,
+            id_col=emb_id_col,
+            threshold=semantic_threshold,
+            centroid_mod=semantic_centroid_mod,
+            n_centroids=semantic_n_centroids,
+        ).where(F.col("cluster") != F.col(emb_id_col))
+        surv2 = surv2.join(
+            sem_drops.select(F.col(emb_id_col).alias(id_col)), id_col, "left_anti"
+        )
 
     # 5. decontamination against the (redacted) eval set
     contaminated = decontaminate(

@@ -652,3 +652,31 @@ def test_ngram_jaccard_prefix_equals_allpairs(spark, docs):
         ).count()
     with pytest.raises(ValueError, match="threshold > 0"):
         ngram_jaccard_pairs(planted, method="prefix", threshold=0.0)
+
+
+def test_curation_pipeline_span_and_semantic_stages(spark, docs, emb):
+    """The widened composed pipeline: strip_spans rewrites survivor text
+    (changing token counts downstream) and the semantic stage drops
+    non-canonical members of embedding clusters — both verified against the
+    unwidened run."""
+    from deepgraph_spark.pipeline import curation_pipeline
+
+    corpus = docs.select("doc_id", "text").where(F.col("doc_id") % 17 != 0)
+    eval_set = docs.select("doc_id", "text").where(F.col("doc_id") % 17 == 0)
+    base = curation_pipeline(corpus, eval_set).toPandas()
+    wide = curation_pipeline(
+        corpus,
+        eval_set,
+        strip_spans=True,
+        embeddings=emb,
+        semantic_threshold=0.35,
+        semantic_centroid_mod=11,
+    ).toPandas()
+    # the semantic stage only removes docs; the span stage only removes
+    # tokens — so the widened run is a subset of ids with <= token counts
+    assert set(wide.doc_id) <= set(base.doc_id)
+    merged = wide.set_index("doc_id").join(
+        base.set_index("doc_id"), rsuffix="_base", how="inner"
+    )
+    assert (merged.n_tokens <= merged.n_tokens_base).all()
+    assert len(wide) > 0

@@ -274,3 +274,16 @@ def test_semantic_dedup_stays_distributed(spark):
     assert "partitionBy=[vec_id" in p.replace(" ", "").replace("#", "").lower() or (
         "hashpartitioning(vec_id" in p
     ), p
+
+
+def test_ngram_prefix_filter_stays_distributed(docs):
+    """The prefix-filter candidate stage must be equi-joins end to end —
+    no cartesian product, no single-partition exchange (the all-pairs path
+    it replaces is the contract-quadratic one)."""
+    from deepgraph_spark.pipeline import ngram_jaccard_pairs
+
+    p = plan_of(
+        ngram_jaccard_pairs(docs, group_cols=["source"], threshold=0.5, method="prefix")
+    )
+    assert "CartesianProduct" not in p, p
+    assert "SinglePartition" not in p, p
