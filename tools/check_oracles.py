@@ -35,8 +35,14 @@ def canon(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     from deepgraph_spark.session import get_spark
 
@@ -103,6 +109,26 @@ def main():
         if not (v.startswith("MATCH") or v.startswith("rows-only")):
             fails += 1
     print(f"\n{len(results) - fails}/{len(results)} OK")
+    if json_out:
+        import json
+        import subprocess
+
+        head = subprocess.run(
+            ["git", "-C", ROOT, "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True,
+        ).stdout.strip()
+        with open(json_out, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "git_head": head,
+                    "n_ok": len(results) - fails,
+                    "n_total": len(results),
+                    "results": results,
+                },
+                f,
+                indent=1,
+            )
     spark.stop()
     sys.exit(1 if fails else 0)
 

@@ -94,6 +94,19 @@ rebuild groups by document (array_sort over conditionally-collected
 (pos, token) structs — one row per dirty doc even when everything was
 removed; no global window, no UDF anywhere)."""))
 
+from deepgraph_spark.pipeline import ngram_jaccard_pairs
+sections.append(("n-gram Jaccard, prefix-filtered (rare-first prefix postings -> exact verify)", cap(
+    ngram_jaccard_pairs(docs, group_cols=["source"], threshold=0.5, method="prefix")),
+"""The subquadratic replacement for the contract-quadratic all-pairs self-join
+(which remains only as the threshold=0 contract and the oracle mirror): one
+explode + map-side-combined agg computes global token document frequencies,
+one token-keyed join attaches them, one id-keyed agg rebuilds each doc's
+rare-first sorted token array, and the candidate generator is an EQUI-join of
+prefix-token postings with itself — (token, id) longs, never text. Any pair
+with J >= tau provably shares a prefix token (ppjoin Lemma 1), so the exact
+verify join loses nothing. No cartesian product anywhere; candidate fan-out is
+bounded by prefix-token bucket sizes, which rare-first ordering keeps small."""))
+
 from deepgraph_spark.pipeline import semantic_dedup
 sections.append(("Semantic dedup (SemDeDup: coarse centroids -> within-cluster cosine -> CC)", cap(semantic_dedup(docs.sparkSession.read.parquet(f"{SF}/embeddings.parquet"), threshold=0.4, centroid_mod=25).where(F.col("vec_id") >= 0)),
 """Assignment is the inherent IVF cost: corpus x small hash-sampled codebook,

@@ -13,8 +13,13 @@ repeats per query). Arms alternate A,B,A,B,... so slow drift within the
 session cancels; per-query times pool across rounds and the artifact reports
 medians plus the full samples.
 
-Usage: python tools/paired_kernels.py [rounds=3]
-Writes BENCH_PAIRED_R6.json at the repo root.
+Usage: python tools/paired_kernels.py [rounds=3] [--arms l1=c1,l2=c2]
+       [--groups g1,g2] [--queries q1,q2,...] [--out FILE.json]
+Defaults reproduce the round-6 adjudication (writes BENCH_PAIRED_R6.json);
+the round-7 transcript-group adjudication runs e.g.:
+  python tools/paired_kernels.py 3 --arms r7_2208040=2208040,r6_d60b4c2=d60b4c2 \
+      --groups transcript --queries gen_transcripts,build_turn_edges,\
+pagerank_transcripts,pagerank_join_transcripts --out BENCH_PAIRED_R7.json
 """
 
 from __future__ import annotations
@@ -72,25 +77,46 @@ def _run_group(tree: str, grp: str) -> dict[str, list[float]]:
 
 
 def main() -> None:
-    rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 3
-    trees = {label: _worktree(c) for label, c in ARMS}
-    pooled: dict[str, dict[str, list[float]]] = {label: {} for label, _ in ARMS}
+    argv = list(sys.argv[1:])
+
+    def opt(name: str, default: str | None) -> str | None:
+        if name in argv:
+            i = argv.index(name)
+            val = argv[i + 1]
+            del argv[i : i + 2]
+            return val
+        return default
+
+    arms_s = opt("--arms", None)
+    groups_s = opt("--groups", None)
+    queries_s = opt("--queries", None)
+    out_file = opt("--out", "BENCH_PAIRED_R6.json")
+    arms = (
+        [tuple(a.split("=", 1)) for a in arms_s.split(",")] if arms_s else ARMS
+    )
+    groups = groups_s.split(",") if groups_s else GROUPS
+    queries = set(queries_s.split(",")) if queries_s else set(QUERIES)
+    rounds = int(argv[0]) if argv else 3
+
+    trees = {label: _worktree(c) for label, c in arms}
+    pooled: dict[str, dict[str, list[float]]] = {label: {} for label, _ in arms}
     for i in range(rounds):
-        for label, _ in ARMS:
-            for grp in GROUPS:
+        for label, _ in arms:
+            for grp in groups:
                 times = _run_group(trees[label], grp)
                 for q, ts in times.items():
-                    if q in QUERIES:
+                    if q in queries:
                         pooled[label].setdefault(q, []).extend(ts)
             print(f"round {i + 1}/{rounds} arm {label} done", flush=True)
+    a0, a1 = arms[0][0], arms[1][0]
     out = {
         "experiment": (
-            "paired short-kernel adjudication, round-6 HEAD (d60b4c2) vs "
-            "round-5 close (668a084), alternating fresh-JVM bench-group runs "
+            f"paired adjudication, {a0} ({arms[0][1]}) vs {a1} ({arms[1][1]}), "
+            f"alternating fresh-JVM bench-group runs over {groups} "
             f"({rounds} rounds x 1 warmup + 3 in-JVM repeats each), same "
             "session same box"
         ),
-        "groups": GROUPS,
+        "groups": groups,
         "arms": {
             label: {
                 q: {
@@ -99,21 +125,21 @@ def main() -> None:
                 }
                 for q, ts in pooled[label].items()
             }
-            for label, _ in ARMS
+            for label, _ in arms
         },
-        "ratio_r6_over_r5": {
+        f"ratio_{a0}_over_{a1}": {
             q: round(
-                statistics.median(pooled[ARMS[0][0]][q])
-                / statistics.median(pooled[ARMS[1][0]][q]),
+                statistics.median(pooled[a0][q])
+                / statistics.median(pooled[a1][q]),
                 3,
             )
-            for q in pooled[ARMS[0][0]]
-            if q in pooled[ARMS[1][0]]
+            for q in pooled[a0]
+            if q in pooled[a1]
         },
     }
-    with open(os.path.join(ROOT, "BENCH_PAIRED_R6.json"), "w") as fh:
+    with open(os.path.join(ROOT, out_file), "w") as fh:
         json.dump(out, fh, indent=2)
-    print(json.dumps(out["ratio_r6_over_r5"]))
+    print(json.dumps(out[f"ratio_{a0}_over_{a1}"]))
 
 
 if __name__ == "__main__":
