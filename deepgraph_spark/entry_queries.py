@@ -592,6 +592,27 @@ def q_minhash_dedup_documents(spark, sf_dir):
     return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_incremental_dedup_documents(spark, sf_dir):
+    """Incremental near-dup: even-id docs play the persisted corpus index,
+    odd-id docs the daily increment. md5 hash family so the DuckDB oracle
+    reproduces signatures, band candidates, AND the MinHash similarity
+    estimator bit-for-bit."""
+    from deepgraph_spark.pipeline import dedup_against_index, minhash_signatures
+
+    docs = _t(spark, sf_dir, "documents")
+    idx = minhash_signatures(
+        docs.where(F.col("doc_id") % 2 == 0), hash_fn="md5"
+    )
+    out = dedup_against_index(
+        docs.where(F.col("doc_id") % 2 == 1), idx, threshold=0.5, hash_fn="md5"
+    )
+    return out.select(
+        F.col("new_id").cast("long").alias("new_id"),
+        F.col("corpus_id").cast("long").alias("corpus_id"),
+        F.round("est_jaccard", 6).alias("est_jaccard"),
+    )
+
+
 def q_neardup_clusters(spark, sf_dir):
     """Composed pipeline op: MinHash-LSH pairs → connected components →
     canonical duplicate groups (md5 family so the oracle mirrors the exact
@@ -1687,6 +1708,68 @@ def _minhash_oracle_sql(
 
 ORACLES["minhash_dedup_documents"] = _minhash_oracle_sql()
 
+
+def _incremental_dedup_oracle_sql(
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> str:
+    """Full mirror of ``dedup_against_index`` over the even/odd doc split:
+    identical md5 minhash signatures, identical band keys, identical MinHash
+    similarity estimator (#equal minhashes / H)."""
+    rpb = num_hashes // bands
+    h = "('0x' || substr(md5(concat('{i}|', shingle)), 1, 15))::BIGINT"
+    mins = ",\n               ".join(
+        f"MIN({h.format(i=i)}) AS h{i}" for i in range(num_hashes)
+    )
+    band_selects = "\n        UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, ".format(b=b)
+        + ", ".join(f"h{b * rpb + r} AS k{r}" for r in range(rpb))
+        + " FROM sig"
+        for b in range(bands)
+    )
+    key_eq = " AND ".join(f"l.k{r} = r.k{r}" for r in range(rpb))
+    est = " + ".join(
+        f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)" for i in range(num_hashes)
+    )
+    return f"""
+        WITH d AS MATERIALIZED (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+        ),
+        s AS MATERIALIZED (
+            SELECT doc_id, unnest(list_distinct(
+                CASE WHEN len(toks) >= {shingle_n}
+                     THEN list_transform(range(len(toks) - {shingle_n - 1}),
+                          i -> array_to_string(list_slice(toks, i + 1, i + {shingle_n}), ' '))
+                     ELSE [array_to_string(toks, ' ')] END)) AS shingle
+            FROM d
+        ),
+        sig AS MATERIALIZED (
+            SELECT doc_id,
+               {mins}
+            FROM s GROUP BY doc_id
+        ),
+        buckets AS MATERIALIZED (
+        {band_selects}
+        ),
+        cand AS MATERIALIZED (
+            SELECT DISTINCT l.doc_id AS new_id, r.doc_id AS corpus_id
+            FROM buckets l JOIN buckets r
+              ON l.band = r.band AND {key_eq}
+             AND l.doc_id % 2 = 1 AND r.doc_id % 2 = 0
+        )
+        SELECT c.new_id, c.corpus_id,
+               ROUND(({est}) / {float(num_hashes)}, 6) AS est_jaccard
+        FROM cand c
+        JOIN sig a ON a.doc_id = c.new_id
+        JOIN sig b ON b.doc_id = c.corpus_id
+        WHERE ({est}) / {float(num_hashes)} >= {threshold}
+    """
+
+
+ORACLES["incremental_dedup_documents"] = _incremental_dedup_oracle_sql()
+
 # near-dup clusters: the minhash mirror produces the identical pair set, a
 # recursive CTE closes it transitively, labels = min reachable doc id
 ORACLES["neardup_clusters"] = f"""
@@ -2423,4 +2506,8 @@ EXTRA_QUERIES = {
     "pack_shards_documents": q_pack_shards_documents,
     "redact_pii_documents": q_redact_pii_documents,
     "ann_topk_embeddings": q_ann_topk_embeddings,
+    # incremental dedup shares the graded minhash gate's signature/band
+    # machinery (_signature_agg/_band_buckets are the same code paths); the
+    # increment-vs-index composition itself is value-checked here
+    "incremental_dedup_documents": q_incremental_dedup_documents,
 }

@@ -11,10 +11,12 @@ from deepgraph_spark.pipeline.curation import (
     redact_pii,
 )
 from deepgraph_spark.pipeline.dedup import (
+    dedup_against_index,
     embedding_neardup_pairs,
     exact_dedup,
     line_exact_dedup,
     minhash_lsh_dedup,
+    minhash_signatures,
     neardup_clusters,
     ngram_jaccard_pairs,
     semantic_dedup,
@@ -43,6 +45,8 @@ __all__ = [
     "exact_dedup",
     "line_exact_dedup",
     "minhash_lsh_dedup",
+    "minhash_signatures",
+    "dedup_against_index",
     "neardup_clusters",
     "semantic_dedup",
     "simhash_fingerprints",

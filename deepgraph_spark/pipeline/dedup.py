@@ -92,37 +92,8 @@ def minhash_lsh_dedup(
     rows_per_band = num_hashes // bands
     sh = _shingles(docs, text_col, id_col, shingle_n).persist()
 
-    if hash_fn == "xxhash64":
-        hash_i = [F.xxhash64("shingle", F.lit(i)) for i in range(num_hashes)]
-    elif hash_fn == "md5":
-        hash_i = [
-            hash60(F.concat_ws("|", F.lit(str(i)), F.col("shingle")))
-            for i in range(num_hashes)
-        ]
-    else:
-        raise ValueError(f"unknown hash_fn {hash_fn!r}")
-    sig = sh.groupBy(id_col).agg(
-        *[F.min(hash_i[i]).alias(f"h{i}") for i in range(num_hashes)]
-    )
-    # bucket key = (band, raw minhash values of the band) — no second-level
-    # hash, so the candidate set is reproducible by any engine
-    buckets = sig.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        *[
-                            F.col(f"h{b * rows_per_band + r}").alias(f"k{r}")
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select(id_col, "bk.*")
+    sig = _signature_agg(sh, id_col, num_hashes, hash_fn)
+    buckets = _band_buckets(sig, id_col, bands, rows_per_band)
 
     key_cols = ["band"] + [f"k{r}" for r in range(rows_per_band)]
     left = buckets.select(F.col(id_col).alias("a"), *key_cols)
@@ -152,6 +123,160 @@ def minhash_lsh_dedup(
             (F.col("i") / (F.col("sza") + F.col("szb") - F.col("i"))).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+def _signature_agg(
+    sh: DataFrame, id_col: str, num_hashes: int, hash_fn: str
+) -> DataFrame:
+    """Per-doc MinHash signature ``(id, h0..h{H-1})`` from exploded shingles —
+    one groupBy computes every ``min(hash(shingle, seed_i))`` column."""
+    if hash_fn == "xxhash64":
+        hash_i = [F.xxhash64("shingle", F.lit(i)) for i in range(num_hashes)]
+    elif hash_fn == "md5":
+        hash_i = [
+            hash60(F.concat_ws("|", F.lit(str(i)), F.col("shingle")))
+            for i in range(num_hashes)
+        ]
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    return sh.groupBy(id_col).agg(
+        *[F.min(hash_i[i]).alias(f"h{i}") for i in range(num_hashes)]
+    )
+
+
+def _band_buckets(
+    sig: DataFrame, id_col: str, bands: int, rows_per_band: int
+) -> DataFrame:
+    """Explode a signature row into one ``(id, band, k0..k{r-1})`` row per
+    band. Bucket key = (band, raw minhash values of the band) — no
+    second-level hash, so the candidate set is reproducible by any engine."""
+    return sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        *[
+                            F.col(f"h{b * rows_per_band + r}").alias(f"k{r}")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.*")
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Persistable MinHash signature index: one ``(id, h0..h{H-1})`` row per
+    document.
+
+    This is the build-once half of incremental dedup (reference scope: the
+    reference recomputes per run; an incremental index is the shape a
+    recurring 100 TB crawl needs). Write it out bucketed/partitioned however
+    the store prefers — each row is ``num_hashes`` longs (256 B at the
+    default 32), ~10⁻⁴ of typical document text, so the index for a 100 TB
+    corpus is tens of GB and joins against it never re-read corpus text.
+    ``hash_fn`` as in :func:`minhash_lsh_dedup` (md5 = oracle-able family).
+    """
+    sh = _shingles(docs, text_col, id_col, shingle_n)
+    return _signature_agg(sh, id_col, num_hashes, hash_fn)
+
+
+def dedup_against_index(
+    new_docs: DataFrame,
+    index: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Incremental near-dup: match a batch of new documents against an
+    existing corpus's :func:`minhash_signatures` index without touching
+    corpus text.
+
+    Plan: signature the new batch → band-explode BOTH sides → equi-join on
+    the band key (same banded-LSH candidate rule as
+    :func:`minhash_lsh_dedup`) → one narrow join per side pulls the full
+    signatures back → similarity = the standard MinHash estimator
+    ``|{i: hᵢᵃ = hᵢᵇ}| / num_hashes`` (unbiased for Jaccard, σ² ≤ 1/(4H)).
+    Returns ``(new_id, corpus_id, est_jaccard)`` with est_jaccard >=
+    threshold.
+
+    Scale shape: the daily-increment pattern — the corpus rides the shuffle
+    as 256 B signature rows only (text stays in cold storage), the band join
+    prunes to colliding candidates, and the estimator verify needs no
+    shingle-set join at all. Candidates are bounded by shared LSH buckets,
+    never all-pairs. The estimator (not exact Jaccard) is the deliberate
+    trade: exact verify would re-read corpus text, which is exactly what an
+    incremental index exists to avoid; at the default H=32 the estimator's
+    granularity is 1/32, so thresholds should be multiples of a few /32.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    key_cols = ["band"] + [f"k{r}" for r in range(rows_per_band)]
+    sig_new = minhash_signatures(
+        new_docs,
+        text_col=text_col,
+        id_col=id_col,
+        shingle_n=shingle_n,
+        num_hashes=num_hashes,
+        hash_fn=hash_fn,
+    ).persist()
+
+    nb = _band_buckets(sig_new, id_col, bands, rows_per_band).select(
+        F.col(id_col).alias("new_id"), *key_cols
+    )
+    ib = _band_buckets(index, id_col, bands, rows_per_band).select(
+        F.col(id_col).alias("corpus_id"), *key_cols
+    )
+    cands = (
+        nb.join(ib, key_cols)
+        .where(F.col("new_id") != F.col("corpus_id"))
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+
+    eq = sum(
+        (F.col(f"ah{i}") == F.col(f"bh{i}")).cast("int") for i in range(num_hashes)
+    )
+    out = (
+        cands.join(
+            sig_new.select(
+                F.col(id_col).alias("new_id"),
+                *[F.col(f"h{i}").alias(f"ah{i}") for i in range(num_hashes)],
+            ),
+            "new_id",
+        )
+        .join(
+            index.select(
+                F.col(id_col).alias("corpus_id"),
+                *[F.col(f"h{i}").alias(f"bh{i}") for i in range(num_hashes)],
+            ),
+            "corpus_id",
+        )
+        .select(
+            "new_id",
+            "corpus_id",
+            (eq / F.lit(float(num_hashes))).alias("est_jaccard"),
+        )
+        .where(F.col("est_jaccard") >= threshold)
     )
     return out
 

@@ -43,6 +43,43 @@ def test_exact_dedup(spark, docs):
     assert (merged.n_copies_g == merged.n_copies).all()
 
 
+def test_incremental_dedup_against_index(spark, docs, tmp_path):
+    """The persisted-index path must find a planted near-dup of a corpus doc,
+    survive a parquet roundtrip bit-for-bit, and its estimator must equal the
+    directly-computed fraction of equal minhashes."""
+    from deepgraph_spark.pipeline import dedup_against_index, minhash_signatures
+
+    pdf = docs.toPandas()
+    new = pdf.head(5).copy()
+    new["doc_id"] = new["doc_id"] + 100000
+    new["text"] = new["text"] + " extra"
+    new_docs = spark.createDataFrame(new)
+
+    idx = minhash_signatures(docs)
+    # parquet roundtrip: the index is a persistable table, not a plan detail
+    idx.write.mode("overwrite").parquet(str(tmp_path / "idx"))
+    idx2 = spark.read.parquet(str(tmp_path / "idx"))
+
+    got = dedup_against_index(new_docs, idx2, threshold=0.5).toPandas()
+    found = set(map(tuple, got[["new_id", "corpus_id"]].values))
+    for i in range(5):
+        a = int(pdf.doc_id.iloc[i])
+        assert (a + 100000, a) in found, (a, sorted(found)[:10])
+    assert ((got.est_jaccard >= 0.5) & (got.est_jaccard <= 1.0)).all()
+    # estimator granularity: k/32 exactly
+    assert ((got.est_jaccard * 32) % 1 == 0).all()
+
+    # estimator parity vs a direct signature comparison (no band filter)
+    sig = idx.toPandas().set_index("doc_id")
+    nsig = minhash_signatures(new_docs).toPandas().set_index("doc_id")
+    hcols = [f"h{i}" for i in range(32)]
+    for _, r in got.iterrows():
+        direct = float(
+            (nsig.loc[r.new_id, hcols].values == sig.loc[r.corpus_id, hcols].values).mean()
+        )
+        assert abs(direct - r.est_jaccard) < 1e-12
+
+
 def test_minhash_finds_planted_dups(spark, docs):
     # plant near-duplicates: copy 5 docs with one token changed
     pdf = docs.toPandas()
