@@ -182,8 +182,8 @@ def group_events() -> dict:
 
 def group_kernels2() -> dict:
     """Round-4 kernels on the sf0.1 tables: accelerated SCC over the
-    directed gate graph, multi-source BFS, 4-cycle motif count, and
-    line-level dedup."""
+    directed gate graph, multi-source BFS, 4-cycle motif count,
+    link-prediction scores, and line-level dedup."""
     from pyspark.sql import functions as F
 
     from deepgraph_spark.algorithms import (
@@ -230,6 +230,16 @@ def group_kernels2() -> dict:
     ew.count()
     times["sssp_events"] = _repeat(lambda: sssp(ew, seeds).count())
     times["four_cycles_events"] = _repeat(lambda: four_cycle_count(e).collect())
+    # value-forcing agg over the score columns (a bare count could not be
+    # join-eliminated here — the degree joins are inner — but the audit
+    # doctrine is to consume computed values, not row counts)
+    from deepgraph_spark.algorithms import link_prediction_scores
+
+    times["linkpred_events"] = _repeat(
+        lambda: link_prediction_scores(e, min_common=2)
+        .agg(F.sum("cn"), F.sum("adamic_adar"), F.sum("jaccard"))
+        .collect()
+    )
     # real-work action (count() join-elimination audit, see group_docs)
     times["line_dedup"] = _repeat(
         lambda: q_line_dedup_documents(spark, SF_DIR)

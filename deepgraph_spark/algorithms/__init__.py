@@ -10,11 +10,13 @@ from deepgraph_spark.algorithms.bfs import bfs
 from deepgraph_spark.algorithms.checkpoint import SuperstepCheckpoint
 from deepgraph_spark.algorithms.components import connected_components
 from deepgraph_spark.algorithms.kcore import k_core
+from deepgraph_spark.algorithms.linkpred import link_prediction_scores
 from deepgraph_spark.algorithms.lpa import label_propagation
 from deepgraph_spark.algorithms.motifs import common_neighbor_pairs, four_cycle_count
 from deepgraph_spark.algorithms.pagerank import pagerank
 from deepgraph_spark.algorithms.scc import strongly_connected_components
 from deepgraph_spark.algorithms.sssp import sssp
+from deepgraph_spark.algorithms.stats import graph_summary
 from deepgraph_spark.algorithms.triangles import triangle_count, triangles_per_vertex
 
 __all__ = [
@@ -23,8 +25,10 @@ __all__ = [
     "common_neighbor_pairs",
     "connected_components",
     "four_cycle_count",
+    "graph_summary",
     "k_core",
     "label_propagation",
+    "link_prediction_scores",
     "pagerank",
     "sssp",
     "strongly_connected_components",

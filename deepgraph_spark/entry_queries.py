@@ -164,6 +164,45 @@ def q_four_cycles_events(spark, sf_dir):
     return four_cycle_count(e)
 
 
+def q_linkpred_events(spark, sf_dir):
+    """Link-prediction scores (common neighbors / Jaccard / Adamic-Adar /
+    resource allocation / preferential attachment) for candidate NEW links
+    of the events band graph — the derived-feature table a training pipeline
+    attaches to a link graph, one wedge join past the reference's
+    user-supplied pair metrics (connector_selector_implementations.py)."""
+    from deepgraph_spark.algorithms import link_prediction_scores
+
+    e = event_edges(spark, sf_dir).select("s", "t")
+    sc = link_prediction_scores(e, min_common=2)
+    return sc.select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.col("cn").cast("long").alias("cn"),
+        F.round("jaccard", 6).alias("jaccard"),
+        F.round("adamic_adar", 6).alias("adamic_adar"),
+        F.round("resource_allocation", 6).alias("resource_allocation"),
+        F.col("pref_attach").cast("long").alias("pref_attach"),
+    )
+
+
+def q_graph_summary_events(spark, sf_dir):
+    """Whole-graph profiling pass (size, degree shape, Newman assortativity,
+    transitivity) — the numbers that decide salting / hub caps / kernel
+    budgets BEFORE an iterative job launches on a 100 TB edge table."""
+    from deepgraph_spark.algorithms import graph_summary
+
+    e = event_edges(spark, sf_dir).select("s", "t")
+    out = graph_summary(e)
+    return out.select(
+        F.col("n_vertices").cast("long").alias("n_vertices"),
+        F.col("n_edges").cast("long").alias("n_edges"),
+        "avg_degree",
+        F.col("max_degree").cast("long").alias("max_degree"),
+        "assortativity",
+        "global_clustering",
+    )
+
+
 def q_cc_events(spark, sf_dir):
     from deepgraph_spark.algorithms import connected_components
 
@@ -1216,6 +1255,92 @@ ORACLES: dict[str, str] = {
         p AS (SELECT a, b, COUNT(*) AS p FROM w GROUP BY a, b)
         SELECT CAST(COALESCE(SUM(p * (p - 1)), 0) / 4 AS BIGINT) AS n_four_cycles
         FROM p
+    """,
+    # linkpred: same und/deg/wedge CTEs as four_cycles, middle degree rides
+    # the wedge for Adamic-Adar; expression SHAPES mirror the Spark plan
+    # (1.0::DOUBLE / BIGINT, BIGINT/BIGINT jaccard → double both engines)
+    "linkpred_events": f"""
+        WITH e AS (SELECT s, t FROM ({EVENT_EDGES_SQL})),
+        und AS MATERIALIZED (
+            SELECT DISTINCT s, t FROM (
+                SELECT s, t FROM e WHERE s != t
+                UNION ALL
+                SELECT t AS s, s AS t FROM e WHERE s != t
+            )
+        ),
+        deg AS MATERIALIZED (SELECT s AS v, COUNT(*) AS d FROM und GROUP BY s),
+        w AS (
+            SELECT n1.t AS a, n2.t AS b, n1.s AS m
+            FROM und n1 JOIN und n2 ON n1.s = n2.s AND n1.t < n2.t
+        ),
+        sc AS (
+            SELECT w.a, w.b, COUNT(*) AS cn,
+                   SUM(1.0::DOUBLE / LN(dm.d)) AS adamic_adar,
+                   SUM(1.0::DOUBLE / dm.d) AS resource_allocation
+            FROM w JOIN deg dm ON dm.v = w.m
+            GROUP BY w.a, w.b
+            HAVING COUNT(*) >= 2
+        ),
+        new_pairs AS (
+            SELECT sc.* FROM sc
+            WHERE NOT EXISTS (SELECT 1 FROM und WHERE und.s = sc.a AND und.t = sc.b)
+        )
+        SELECT p.a, p.b, p.cn,
+               ROUND(p.cn / (da.d + db.d - p.cn), 6) AS jaccard,
+               ROUND(p.adamic_adar, 6) AS adamic_adar,
+               ROUND(p.resource_allocation, 6) AS resource_allocation,
+               da.d * db.d AS pref_attach
+        FROM new_pairs p
+        JOIN deg da ON da.v = p.a
+        JOIN deg db ON db.v = p.b
+    """,
+    # graph summary: integers (n/m/max_degree/triangles/wedges) are exact on
+    # both engines; the three ratios mirror the Spark expression shapes
+    # (::DOUBLE before every division) and round to 6dp
+    "graph_summary_events": f"""
+        WITH e AS (SELECT s, t FROM ({EVENT_EDGES_SQL})),
+        und AS MATERIALIZED (
+            SELECT DISTINCT s, t FROM (
+                SELECT s, t FROM e WHERE s != t
+                UNION ALL
+                SELECT t AS s, s AS t FROM e WHERE s != t
+            )
+        ),
+        deg AS MATERIALIZED (SELECT s AS v, COUNT(*) AS d FROM und GROUP BY s),
+        ds AS (
+            SELECT COUNT(*) AS n_vertices,
+                   CAST(SUM(d) / 2 AS BIGINT) AS n_edges,
+                   SUM(d)::DOUBLE / COUNT(*) AS avg_degree,
+                   MAX(d) AS max_degree,
+                   SUM(d::HUGEINT * (d - 1) // 2) AS wedges
+            FROM deg
+        ),
+        mom AS (
+            SELECT COUNT(*) AS m2,
+                   SUM(da.d::DOUBLE) AS sx,
+                   SUM(da.d::DOUBLE * da.d) AS sxx,
+                   SUM(da.d::DOUBLE * db.d) AS sxy
+            FROM und
+            JOIN deg da ON da.v = und.s
+            JOIN deg db ON db.v = und.t
+        ),
+        can AS (SELECT s, t FROM und WHERE s < t),
+        tri AS (
+            SELECT COUNT(*) AS n_triangles
+            FROM can e1 JOIN can e2 ON e1.t = e2.s
+                        JOIN can e3 ON e3.s = e1.s AND e3.t = e2.t
+        )
+        SELECT n_vertices, n_edges,
+               ROUND(avg_degree, 6) AS avg_degree,
+               max_degree,
+               ROUND(CASE WHEN (sxx / m2 - (sx / m2) * (sx / m2)) > 0
+                          THEN (sxy / m2 - (sx / m2) * (sx / m2))
+                               / (sxx / m2 - (sx / m2) * (sx / m2))
+                     END, 6) AS assortativity,
+               ROUND(CASE WHEN wedges > 0
+                          THEN 3.0::DOUBLE * n_triangles / wedges::DOUBLE
+                          ELSE 0.0::DOUBLE END, 6) AS global_clustering
+        FROM ds, mom, tri
     """,
     "scc_events": f"""
         WITH RECURSIVE
@@ -2510,4 +2635,11 @@ EXTRA_QUERIES = {
     # machinery (_signature_agg/_band_buckets are the same code paths); the
     # increment-vs-index composition itself is value-checked here
     "incremental_dedup_documents": q_incremental_dedup_documents,
+    # link-prediction scores reuse the graded wedge plan (motifs.py CTE
+    # family shared with four_cycles_events); the score algebra is
+    # value-checked here
+    "linkpred_events": q_linkpred_events,
+    # graph profiling: integers exact, ratios mirrored to 6dp; triangle
+    # term shares the graded triangles_events plan family
+    "graph_summary_events": q_graph_summary_events,
 }

@@ -140,6 +140,19 @@ def test_four_cycles_no_single_partition(spark, docs):
     assert p.count("SinglePartition") <= 1, p
 
 
+def test_linkpred_no_single_partition(spark, docs):
+    """The link-prediction score table is keyed end-to-end (wedge join on
+    the middle, (a,b) aggregation, endpoint-degree joins) — no exchange may
+    collapse to a single partition."""
+    from deepgraph_spark.algorithms import link_prediction_scores
+
+    e = docs.select(
+        F.col("doc_id").alias("s"), (F.col("doc_id") % 97).alias("t")
+    )
+    p = plan_of(link_prediction_scores(e, max_wedges=None))
+    assert "SinglePartition" not in p, p
+
+
 def test_sssp_superstep_no_single_partition(spark, docs):
     """One min-plus relaxation superstep compiles to keyed joins + a keyed
     min aggregation — never a single-partition exchange."""

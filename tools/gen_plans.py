@@ -135,6 +135,21 @@ _kc_und = _kc_a.unionByName(_kc_a.select(F.col("t").alias("s"), F.col("s").alias
 _kc_deg = _kc_und.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
 _kc_bad = _kc_deg.where(F.col("deg") < 2).select("s")
 _kc_round = _kc_und.join(_kc_bad, "s", "left_anti").join(_kc_bad.withColumnRenamed("s", "t"), "t", "left_anti").select("s", "t")
+from deepgraph_spark.algorithms import link_prediction_scores
+_lp_e = event_edges(spark, SF).select("s", "t")
+sections.append(("Link-prediction scores (guarded wedge join + keyed score agg)", cap(
+    link_prediction_scores(_lp_e, min_common=2, max_wedges=None)),
+"""The same wedge family as triangle/C4 counting: one symmetrize+distinct
+(pinned by an eager localCheckpoint so the guard's degree pass, the hub cap,
+the Adamic-Adar middle weight, and the wedge join all reuse it), the single
+quadratic-by-contract self-join on the middle vertex, then ONE keyed (a, b)
+aggregation computing cn/AA/RA together. Endpoint degrees join in twice as
+narrow (v, d) longs — broadcast at this size, shuffle-hash at scale.
+`max_wedges` pre-counts the join exactly from a degree aggregate and fails
+loud; `max_middle_degree` bounds it at |V|*C(cap,2) rows on hub-heavy graphs
+(documented one-sided undercount). No SinglePartition exchange (asserted in
+tests/test_plans.py)."""))
+
 sections.append(("k-core peel round (degree agg + two anti-joins)", cap(_kc_round),
 """One peel round over the checkpointed undirected edge set: a map-side-
 combined degree aggregate, then two left-anti joins against the (small,
