@@ -936,6 +936,46 @@ def q_stream_exact_dedup_documents(spark, sf_dir):
     return out.select(F.col("h").cast("long").alias("h"))
 
 
+def q_stream_incremental_dedup_documents(spark, sf_dir):
+    """Streaming twin of ``incremental_dedup_documents``: the odd-id docs
+    arrive in 4 micro-batches and each batch is matched against the static
+    even-id signature index inside foreachBatch — the union of per-batch
+    matches must value-equal the batch operator (same DuckDB mirror), since
+    signatures are per-doc and the index is static."""
+    from deepgraph_spark.pipeline import minhash_signatures
+    from deepgraph_spark.streaming import incremental_dedup_replay
+
+    docs = _t(spark, sf_dir, "documents")
+    idx = minhash_signatures(docs.where(F.col("doc_id") % 2 == 0), hash_fn="md5")
+    out = incremental_dedup_replay(
+        docs.where(F.col("doc_id") % 2 == 1),
+        idx,
+        threshold=0.5,
+        hash_fn="md5",
+        batches=4,
+    )
+    return out.select(
+        F.col("new_id").cast("long").alias("new_id"),
+        F.col("corpus_id").cast("long").alias("corpus_id"),
+        F.round("est_jaccard", 6).alias("est_jaccard"),
+    )
+
+
+def q_mix_corpora_documents(spark, sf_dir):
+    """Training-mix assembly gate: three pseudo-sources (doc_id % 3) combined
+    at 0.5/0.3/0.2 token weights — capacity, keep fractions, and the
+    hash-sampled kept set are all re-derived inside the DuckDB oracle."""
+    from deepgraph_spark.pipeline import mix_corpora
+
+    docs = _t(spark, sf_dir, "documents")
+    sources = {f"src{i}": docs.where(F.col("doc_id") % 3 == i) for i in range(3)}
+    out = mix_corpora(sources, {"src0": 0.5, "src1": 0.3, "src2": 0.2})
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("source").alias("source"),
+    )
+
+
 def q_stream_topk_events(spark, sf_dir):
     """Arbitrary-stateful streaming gate: continuous per-user top-3 event
     types via applyInPandasWithState (streaming aggregation cannot
@@ -1894,6 +1934,41 @@ def _incremental_dedup_oracle_sql(
 
 
 ORACLES["incremental_dedup_documents"] = _incremental_dedup_oracle_sql()
+# the streaming replay is batching-invariant (per-doc signatures, static
+# index), so its oracle IS the batch mirror
+ORACLES["stream_incremental_dedup_documents"] = _incremental_dedup_oracle_sql()
+
+# mix_corpora: the full derivation — token counts t_i, capacity
+# T=min(t_i/w_i), keep cut floor(w_i*T/t_i * 2^20), hash-sampled kept set —
+# re-computed in SQL with the exact double-op order of mixing.py (w*T then
+# /t then *resolution; every weight literal ::DOUBLE so DuckDB never
+# routes through DECIMAL arithmetic)
+ORACLES["mix_corpora_documents"] = """
+    WITH s0 AS MATERIALIZED (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+    s1 AS MATERIALIZED (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1),
+    s2 AS MATERIALIZED (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
+    tok AS (
+        SELECT
+            (SELECT SUM(len(string_split_regex(trim(text), '\\s+'))) FROM s0) AS t0,
+            (SELECT SUM(len(string_split_regex(trim(text), '\\s+'))) FROM s1) AS t1,
+            (SELECT SUM(len(string_split_regex(trim(text), '\\s+'))) FROM s2) AS t2
+    ),
+    f AS (
+        SELECT
+            FLOOR(0.5::DOUBLE * LEAST(t0 / 0.5::DOUBLE, t1 / 0.3::DOUBLE, t2 / 0.2::DOUBLE) / t0 * 1048576) AS c0,
+            FLOOR(0.3::DOUBLE * LEAST(t0 / 0.5::DOUBLE, t1 / 0.3::DOUBLE, t2 / 0.2::DOUBLE) / t1 * 1048576) AS c1,
+            FLOOR(0.2::DOUBLE * LEAST(t0 / 0.5::DOUBLE, t1 / 0.3::DOUBLE, t2 / 0.2::DOUBLE) / t2 * 1048576) AS c2
+        FROM tok
+    )
+    SELECT doc_id, 'src0' AS source FROM s0, f
+     WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 15))::BIGINT % 1048576 < c0
+    UNION ALL
+    SELECT doc_id, 'src1' AS source FROM s1, f
+     WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 15))::BIGINT % 1048576 < c1
+    UNION ALL
+    SELECT doc_id, 'src2' AS source FROM s2, f
+     WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 15))::BIGINT % 1048576 < c2
+"""
 
 # near-dup clusters: the minhash mirror produces the identical pair set, a
 # recursive CTE closes it transitively, labels = min reachable doc id
@@ -2642,4 +2717,10 @@ EXTRA_QUERIES = {
     # graph profiling: integers exact, ratios mirrored to 6dp; triangle
     # term shares the graded triangles_events plan family
     "graph_summary_events": q_graph_summary_events,
+    # streaming foreachBatch twin of incremental dedup (batching-invariant,
+    # same oracle as the batch gate)
+    "stream_incremental_dedup_documents": q_stream_incremental_dedup_documents,
+    # training-mix assembly (capacity + keep-fraction derivation fully
+    # re-computed inside the oracle)
+    "mix_corpora_documents": q_mix_corpora_documents,
 }

@@ -22,6 +22,7 @@ from deepgraph_spark.pipeline.dedup import (
     semantic_dedup,
     simhash_fingerprints,
 )
+from deepgraph_spark.pipeline.mixing import mix_corpora
 from deepgraph_spark.pipeline.similarity import (
     ann_topk_bruteforce,
     ann_topk_ivf,
@@ -45,6 +46,7 @@ __all__ = [
     "exact_dedup",
     "line_exact_dedup",
     "minhash_lsh_dedup",
+    "mix_corpora",
     "minhash_signatures",
     "dedup_against_index",
     "neardup_clusters",

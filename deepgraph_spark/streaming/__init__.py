@@ -3,6 +3,7 @@ from deepgraph_spark.streaming.dedup_stream import (
     stream_exact_dedup,
 )
 from deepgraph_spark.streaming.edge_stream import band_edges_replay, stream_band_edges
+from deepgraph_spark.streaming.index_stream import incremental_dedup_replay
 from deepgraph_spark.streaming.topk_stream import stream_topk, topk_replay
 from deepgraph_spark.streaming.sessions import (
     sessionize_batch,
@@ -18,6 +19,7 @@ __all__ = [
     "sessionize_replay",
     "stream_exact_dedup",
     "exact_dedup_replay",
+    "incremental_dedup_replay",
     "stream_topk",
     "topk_replay",
 ]

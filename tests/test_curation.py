@@ -239,3 +239,47 @@ def test_curation_pipeline_composed_stages(spark):
     # so the token count is unchanged at 15
     if 1 in sizes:
         assert sizes[1] == 15
+
+
+def test_mix_corpora_ratios_and_determinism(spark, docs):
+    """Weights are honoured approximately (hash sampling), the binding
+    source is kept in full, and the mix is deterministic across calls."""
+    from deepgraph_spark.pipeline import mix_corpora
+
+    sources = {f"src{i}": docs.where(F.col("doc_id") % 3 == i) for i in range(3)}
+    weights = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    out = mix_corpora(sources, weights).cache()
+
+    ntok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    got_tok = {
+        r["source"]: r["t"]
+        for r in out.groupBy("source").agg(F.sum(ntok).alias("t")).collect()
+    }
+    src_tok = {
+        n: df.agg(F.sum(ntok).alias("t")).collect()[0]["t"]
+        for n, df in sources.items()
+    }
+    # the binding source (min t/w) must be kept ~in full, others downsampled
+    binding = min(weights, key=lambda n: src_tok[n] / weights[n])
+    assert got_tok[binding] == src_tok[binding]
+    total = sum(got_tok.values())
+    wsum = sum(weights.values())
+    for n, w in weights.items():
+        assert got_tok[n] <= src_tok[n]
+        # realized ratio within sampling noise of the target
+        assert abs(got_tok[n] / total - w / wsum) < 0.05, (n, got_tok, src_tok)
+
+    again = mix_corpora(sources, weights)
+    assert out.exceptAll(again).count() == 0
+    assert again.exceptAll(out).count() == 0
+    out.unpersist()
+
+
+def test_mix_corpora_fails_loud(spark, docs):
+    from deepgraph_spark.pipeline import mix_corpora
+
+    empty = docs.where(F.lit(False))
+    with pytest.raises(ValueError, match="zero tokens"):
+        mix_corpora({"a": docs, "b": empty}, {"a": 0.5, "b": 0.5})
+    with pytest.raises(ValueError, match="key mismatch"):
+        mix_corpora({"a": docs}, {"b": 1.0})

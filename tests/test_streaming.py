@@ -276,3 +276,42 @@ def test_stream_topk_null_items_filtered(spark, tmp_path):
     assert u1["item"].notna().all()
     got = {r["rank"]: (r["item"], r["cnt"]) for _, r in u1.iterrows()}
     assert got == {1: ("a", 2), 2: ("b", 1)}
+
+
+def test_stream_incremental_dedup_replay_equals_batch(spark, tmp_path):
+    """The foreachBatch index-matching stream must produce exactly the batch
+    dedup_against_index result, independent of micro-batching (per-doc
+    signatures + static index => batching-invariant)."""
+    from deepgraph_spark.pipeline import dedup_against_index, minhash_signatures
+    from deepgraph_spark.streaming import incremental_dedup_replay
+
+    corpus = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta doc {i % 9}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (100 + i, f"alpha beta gamma delta epsilon zeta doc {i % 9}")
+            for i in range(12)
+        ],
+        "doc_id long, text string",
+    )
+    idx = minhash_signatures(corpus)
+    got = (
+        incremental_dedup_replay(
+            new, idx, threshold=0.5, batches=3, work_dir=str(tmp_path)
+        )
+        .toPandas()
+        .sort_values(["new_id", "corpus_id"])
+        .reset_index(drop=True)
+    )
+    want = (
+        dedup_against_index(new, idx, threshold=0.5)
+        .toPandas()
+        .sort_values(["new_id", "corpus_id"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) and len(got) > 0
+    assert (got.new_id.values == want.new_id.values).all()
+    assert (got.corpus_id.values == want.corpus_id.values).all()
+    assert (abs(got.est_jaccard.values - want.est_jaccard.values) < 1e-12).all()
