@@ -240,6 +240,9 @@ def group_kernels2() -> dict:
         .agg(F.sum("cn"), F.sum("adamic_adar"), F.sum("jaccard"))
         .collect()
     )
+    from deepgraph_spark.algorithms import k_truss
+
+    times["ktruss_events"] = _repeat(lambda: k_truss(e, 4)[0].count())
     # real-work action (count() join-elimination audit, see group_docs)
     times["line_dedup"] = _repeat(
         lambda: q_line_dedup_documents(spark, SF_DIR)

@@ -10,6 +10,7 @@ from deepgraph_spark.algorithms.bfs import bfs
 from deepgraph_spark.algorithms.checkpoint import SuperstepCheckpoint
 from deepgraph_spark.algorithms.components import connected_components
 from deepgraph_spark.algorithms.kcore import k_core
+from deepgraph_spark.algorithms.ktruss import k_truss
 from deepgraph_spark.algorithms.linkpred import link_prediction_scores
 from deepgraph_spark.algorithms.lpa import label_propagation
 from deepgraph_spark.algorithms.motifs import common_neighbor_pairs, four_cycle_count
@@ -27,6 +28,7 @@ __all__ = [
     "four_cycle_count",
     "graph_summary",
     "k_core",
+    "k_truss",
     "label_propagation",
     "link_prediction_scores",
     "pagerank",

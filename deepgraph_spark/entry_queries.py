@@ -961,6 +961,20 @@ def q_stream_incremental_dedup_documents(spark, sf_dir):
     )
 
 
+def q_ktruss_events(spark, sf_dir):
+    """4-truss of the events band graph: every surviving edge sits in >= 2
+    triangles within the surviving subgraph — the edge-peel analogue of
+    k-core, oracle = unrolled support-peel (extra unrolled iterations past
+    the fixed point are no-ops, so the oracle unrolls a safe margin)."""
+    from deepgraph_spark.algorithms import k_truss
+
+    e = event_edges(spark, sf_dir).select("s", "t")
+    out, _history = k_truss(e, 4)
+    return out.select(
+        F.col("s").cast("long").alias("s"), F.col("t").cast("long").alias("t")
+    )
+
+
 def q_mix_corpora_documents(spark, sf_dir):
     """Training-mix assembly gate: three pseudo-sources (doc_id % 3) combined
     at 0.5/0.3/0.2 token weights — capacity, keep fractions, and the
@@ -1938,6 +1952,42 @@ ORACLES["incremental_dedup_documents"] = _incremental_dedup_oracle_sql()
 # index), so its oracle IS the batch mirror
 ORACLES["stream_incremental_dedup_documents"] = _incremental_dedup_oracle_sql()
 
+def _ktruss_oracle_sql(k: int = 4, n_iter: int = 8) -> str:
+    """Unrolled support peel: per iteration, canonical triangle enumeration
+    (the triangles_events oracle's 3-join), per-edge support via the 3-side
+    union count, and the below-threshold edge drop. Iterations past the
+    fixed point are no-ops, so ``n_iter`` needs only to exceed the peel
+    depth (engine history at sf0.01 confirms; see tests)."""
+    need = k - 2
+    parts = [
+        "it0 AS MATERIALIZED (SELECT DISTINCT LEAST(s, t) AS x, GREATEST(s, t) AS y "
+        f"FROM ({EVENT_EDGES_SQL}) WHERE s != t)"
+    ]
+    for i in range(n_iter):
+        parts.append(
+            f"""tri{i} AS MATERIALIZED (
+            SELECT e1.x AS a, e1.y AS b, e2.y AS c
+            FROM it{i} e1 JOIN it{i} e2 ON e1.y = e2.x
+                          JOIN it{i} e3 ON e3.x = e1.x AND e3.y = e2.y)"""
+        )
+        parts.append(
+            f"""sup{i} AS MATERIALIZED (
+            SELECT x, y, COUNT(*) AS sup FROM (
+                SELECT a AS x, b AS y FROM tri{i}
+                UNION ALL SELECT a AS x, c AS y FROM tri{i}
+                UNION ALL SELECT b AS x, c AS y FROM tri{i}) GROUP BY x, y)"""
+        )
+        parts.append(
+            f"""it{i + 1} AS MATERIALIZED (
+            SELECT e.x, e.y FROM it{i} e
+            LEFT JOIN sup{i} sp ON sp.x = e.x AND sp.y = e.y
+            WHERE COALESCE(sp.sup, 0) >= {need})"""
+        )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT x AS s, y AS t FROM it{n_iter}"
+
+
+ORACLES["ktruss_events"] = _ktruss_oracle_sql()
+
 # mix_corpora: the full derivation — token counts t_i, capacity
 # T=min(t_i/w_i), keep cut floor(w_i*T/t_i * 2^20), hash-sampled kept set —
 # re-computed in SQL with the exact double-op order of mixing.py (w*T then
@@ -2723,4 +2773,6 @@ EXTRA_QUERIES = {
     # training-mix assembly (capacity + keep-fraction derivation fully
     # re-computed inside the oracle)
     "mix_corpora_documents": q_mix_corpora_documents,
+    # k-truss: unrolled support-peel oracle (k-core oracle pattern)
+    "ktruss_events": q_ktruss_events,
 }
