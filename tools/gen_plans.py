@@ -150,6 +150,24 @@ loud; `max_middle_degree` bounds it at |V|*C(cap,2) rows on hub-heavy graphs
 (documented one-sided undercount). No SinglePartition exchange (asserted in
 tests/test_plans.py)."""))
 
+from deepgraph_spark.algorithms.triangles import triangles_df as _tri_df
+_kt_e = _lp_e.select(F.least("s", "t").alias("s"), F.greatest("s", "t").alias("t")).where("s != t").distinct().localCheckpoint(eager=True)
+_kt_tri = _tri_df(_kt_e)
+_kt_side = (_kt_tri.select(F.col("a").alias("s"), F.col("b").alias("t"))
+            .unionByName(_kt_tri.select(F.col("a").alias("s"), F.col("c").alias("t")))
+            .unionByName(_kt_tri.select(F.col("b").alias("s"), F.col("c").alias("t"))))
+_kt_sup = _kt_side.groupBy("s", "t").agg(F.count(F.lit(1)).alias("sup"))
+_kt_round = (_kt_e.join(_kt_sup, ["s", "t"], "left")
+             .where(F.coalesce(F.col("sup"), F.lit(0)) >= 2).select("s", "t"))
+sections.append(("k-truss peel round (degree-ordered triangle count + support drop)", cap(_kt_round),
+"""One support-peel round over the checkpointed canonical edge set: the
+degree-ordered triangle enumeration (out-neighborhoods bounded O(sqrt m),
+same plan family as the triangle/C4/linkpred kernels), each triangle fanned
+to its three sides, ONE keyed (s, t) support aggregate, then a left join +
+filter back onto the edges. All narrow long pairs; per-round volume shrinks
+monotonically as edges peel. The loop re-checkpoints each round so the
+iterated-self-join lineage pathology never builds."""))
+
 sections.append(("k-core peel round (degree agg + two anti-joins)", cap(_kc_round),
 """One peel round over the checkpointed undirected edge set: a map-side-
 combined degree aggregate, then two left-anti joins against the (small,
