@@ -19,6 +19,7 @@ from deepgraph_spark.algorithms.scc import strongly_connected_components
 from deepgraph_spark.algorithms.sssp import sssp
 from deepgraph_spark.algorithms.stats import graph_summary
 from deepgraph_spark.algorithms.triangles import triangle_count, triangles_per_vertex
+from deepgraph_spark.algorithms.walks import random_walks
 
 __all__ = [
     "SuperstepCheckpoint",
@@ -32,6 +33,7 @@ __all__ = [
     "label_propagation",
     "link_prediction_scores",
     "pagerank",
+    "random_walks",
     "sssp",
     "strongly_connected_components",
     "triangle_count",

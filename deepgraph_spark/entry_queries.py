@@ -961,6 +961,21 @@ def q_stream_incremental_dedup_documents(spark, sf_dir):
     )
 
 
+def q_random_walks_events(spark, sf_dir):
+    """Hash-deterministic DeepWalk corpus over the events band graph: one
+    4-step walk per vertex, every step's neighbor choice reproduced in the
+    oracle (md5 pick + ROW_NUMBER neighbor ranking)."""
+    from deepgraph_spark.algorithms import random_walks
+
+    e = event_edges(spark, sf_dir).select("s", "t")
+    out = random_walks(e, walk_length=4, seed=7)
+    return out.select(
+        F.col("start").cast("long").alias("start"),
+        F.col("step").cast("long").alias("step"),
+        F.col("vertex").cast("long").alias("vertex"),
+    )
+
+
 def q_ktruss_events(spark, sf_dir):
     """4-truss of the events band graph: every surviving edge sits in >= 2
     triangles within the surviving subgraph — the edge-peel analogue of
@@ -1988,6 +2003,47 @@ def _ktruss_oracle_sql(k: int = 4, n_iter: int = 8) -> str:
 
 ORACLES["ktruss_events"] = _ktruss_oracle_sql()
 
+
+def _random_walks_oracle_sql(walk_length: int = 4, seed: int = 7) -> str:
+    """Step-unrolled mirror of ``random_walks``: identical symmetrized
+    distinct adjacency, identical ROW_NUMBER-by-neighbor-id ranking, and
+    the identical md5 pick ``hash60(start ':seed:i:' current) % deg``."""
+    parts = [
+        f"""e AS (SELECT s, t FROM ({EVENT_EDGES_SQL})),
+        adj0 AS (
+            SELECT DISTINCT v, n FROM (
+                SELECT s AS v, t AS n FROM e
+                UNION ALL SELECT t AS v, s AS n FROM e
+            ) WHERE v != n
+        ),
+        ranked AS MATERIALIZED (
+            SELECT v, n, ROW_NUMBER() OVER (PARTITION BY v ORDER BY n) - 1 AS r
+            FROM adj0
+        ),
+        deg AS MATERIALIZED (SELECT v, COUNT(*) AS d FROM ranked GROUP BY v),
+        w0 AS (SELECT DISTINCT v AS start, v AS c FROM ranked)"""
+    ]
+    for i in range(walk_length):
+        pick = (
+            f"('0x' || substr(md5(w.start::VARCHAR || ':{seed}:{i}:' || "
+            f"w.c::VARCHAR), 1, 15))::BIGINT % d.d"
+        )
+        parts.append(
+            f"""w{i + 1} AS MATERIALIZED (
+            SELECT w.start, a.n AS c
+            FROM w{i} w
+            JOIN deg d ON d.v = w.c
+            JOIN ranked a ON a.v = w.c AND a.r = {pick})"""
+        )
+    selects = ["SELECT start, 0 AS step, start AS vertex FROM w0"] + [
+        f"SELECT start, {i + 1} AS step, c AS vertex FROM w{i + 1}"
+        for i in range(walk_length)
+    ]
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
+ORACLES["random_walks_events"] = _random_walks_oracle_sql()
+
 # mix_corpora: the full derivation — token counts t_i, capacity
 # T=min(t_i/w_i), keep cut floor(w_i*T/t_i * 2^20), hash-sampled kept set —
 # re-computed in SQL with the exact double-op order of mixing.py (w*T then
@@ -2775,4 +2831,6 @@ EXTRA_QUERIES = {
     "mix_corpora_documents": q_mix_corpora_documents,
     # k-truss: unrolled support-peel oracle (k-core oracle pattern)
     "ktruss_events": q_ktruss_events,
+    # deterministic hash walks: step-unrolled full mirror
+    "random_walks_events": q_random_walks_events,
 }
