@@ -7,6 +7,7 @@ checkpointed DataFrames.
 """
 
 from deepgraph_spark.algorithms.bfs import bfs
+from deepgraph_spark.algorithms.centrality import harmonic_centrality, seeded_bfs
 from deepgraph_spark.algorithms.checkpoint import SuperstepCheckpoint
 from deepgraph_spark.algorithms.components import connected_components
 from deepgraph_spark.algorithms.kcore import k_core
@@ -28,6 +29,8 @@ __all__ = [
     "connected_components",
     "four_cycle_count",
     "graph_summary",
+    "harmonic_centrality",
+    "seeded_bfs",
     "k_core",
     "k_truss",
     "label_propagation",

@@ -961,6 +961,37 @@ def q_stream_incremental_dedup_documents(spark, sf_dir):
     )
 
 
+HARMONIC_ORACLE_CAP = 30  # q_harmonic_events asserts engine max dist < this
+
+
+def q_harmonic_events(spark, sf_dir):
+    """Sampled harmonic centrality over the undirected events band graph:
+    hash-chosen seeds (event_id ≡ 0 mod 997), per-seed BFS distances, then
+    Σ 1/dist per vertex — the deterministic Eppstein–Wang-style estimator.
+    The aggregation mirrors harmonic_centrality() exactly; the gate runs it
+    on the seeded_bfs table directly so the oracle depth cap is asserted."""
+    from deepgraph_spark.algorithms import seeded_bfs
+
+    e = event_edges(spark, sf_dir).select("s", "t")
+    seeds = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_id") % 997 == 0)
+        .select(F.col("event_id").alias("id"))
+    )
+    d = seeded_bfs(e, seeds)
+    mx = d.agg(F.max("dist")).collect()[0][0]
+    if mx is not None and mx >= HARMONIC_ORACLE_CAP:
+        raise RuntimeError(
+            f"seeded_bfs reached dist {mx} >= oracle cap {HARMONIC_ORACLE_CAP}"
+        )
+    return (
+        d.where(F.col("dist") > 0)
+        .groupBy("id")
+        .agg(F.round(F.sum(F.lit(1.0) / F.col("dist")), 6).alias("harmonic"))
+        .select(F.col("id").cast("long").alias("id"), "harmonic")
+    )
+
+
 def q_random_walks_events(spark, sf_dir):
     """Hash-deterministic DeepWalk corpus over the events band graph: one
     4-step walk per vertex, every step's neighbor choice reproduced in the
@@ -2044,6 +2075,30 @@ def _random_walks_oracle_sql(walk_length: int = 4, seed: int = 7) -> str:
 
 ORACLES["random_walks_events"] = _random_walks_oracle_sql()
 
+# sampled harmonic centrality: seed-labeled recursive walk (the bfs_events
+# oracle's cap discipline, one label column wider), min dist per (seed, id),
+# then the Σ 1/dist estimator with the Spark expression shape
+ORACLES["harmonic_events"] = f"""
+    WITH RECURSIVE
+    e AS (SELECT s, t FROM ({EVENT_EDGES_SQL})),
+    sym AS (
+        SELECT s AS a, t AS b FROM e WHERE s != t
+        UNION
+        SELECT t AS a, s AS b FROM e WHERE s != t
+    ),
+    seeds AS (SELECT event_id AS id FROM events WHERE event_id % 997 = 0),
+    walk(seed, id, dist) AS (
+        SELECT id, id, 0 FROM seeds
+        UNION
+        SELECT w.seed, sy.b, w.dist + 1
+        FROM walk w JOIN sym sy ON sy.a = w.id
+        WHERE w.dist < {HARMONIC_ORACLE_CAP}
+    ),
+    d AS (SELECT seed, id, MIN(dist) AS dist FROM walk GROUP BY seed, id)
+    SELECT id, ROUND(SUM(1.0::DOUBLE / dist), 6) AS harmonic
+    FROM d WHERE dist > 0 GROUP BY id
+"""
+
 # mix_corpora: the full derivation — token counts t_i, capacity
 # T=min(t_i/w_i), keep cut floor(w_i*T/t_i * 2^20), hash-sampled kept set —
 # re-computed in SQL with the exact double-op order of mixing.py (w*T then
@@ -2833,4 +2888,6 @@ EXTRA_QUERIES = {
     "ktruss_events": q_ktruss_events,
     # deterministic hash walks: step-unrolled full mirror
     "random_walks_events": q_random_walks_events,
+    # sampled harmonic centrality: seed-labeled recursive-CTE mirror
+    "harmonic_events": q_harmonic_events,
 }
