@@ -240,9 +240,20 @@ def group_kernels2() -> dict:
         .agg(F.sum("cn"), F.sum("adamic_adar"), F.sum("jaccard"))
         .collect()
     )
-    from deepgraph_spark.algorithms import k_truss
+    from deepgraph_spark.algorithms import harmonic_centrality, k_truss, random_walks
 
     times["ktruss_events"] = _repeat(lambda: k_truss(e, 4)[0].count())
+    times["random_walks_events"] = _repeat(
+        lambda: random_walks(e, walk_length=4, seed=7)
+        .agg(F.sum("vertex"), F.sum("step"))
+        .collect()
+    )
+    hc_seeds = ev.where(F.col("event_id") % 997 == 0).select(
+        F.col("event_id").alias("id")
+    )
+    times["harmonic_events"] = _repeat(
+        lambda: harmonic_centrality(e, hc_seeds).agg(F.sum("harmonic")).collect()
+    )
     # real-work action (count() join-elimination audit, see group_docs)
     times["line_dedup"] = _repeat(
         lambda: q_line_dedup_documents(spark, SF_DIR)
