@@ -15,7 +15,13 @@ quality → MinHash near-dup removal → duplicate-span strip → SemDeDup
 semantic dedup → decontamination → hash split → shard packing, mirrored
 stage-for-stage in a single DuckDB oracle), with the
 four single-op curation gates (plus the brute-force ANN baseline, whose
-exact-cosine math the graded IVF/LSH/semantic-dedup gates re-verify) kept in
+exact-cosine math the graded IVF/LSH/semantic-dedup gates re-verify, the
+incremental-index dedup pair — batch + its foreachBatch streaming twin —
+the training-mix assembler, and the engine-addition kernels past the
+graded set: link-prediction scores, whole-graph profiling, k-truss,
+deterministic random walks, sampled harmonic centrality — every one with
+its own full DuckDB mirror, value-checked by ``tools/check_oracles.py``
+into ``CORRECTNESS_EXTRA.json``) kept in
 a local-only overflow registry (``entry_queries.EXTRA_QUERIES``) because the
 driver grades at most the first fifty entries — and the hash
 sketches (shared 60-bit MD5 hash family mirrors simhash, winnowing
