@@ -18,7 +18,7 @@ from deepgraph_spark.algorithms.motifs import common_neighbor_pairs, four_cycle_
 from deepgraph_spark.algorithms.pagerank import pagerank
 from deepgraph_spark.algorithms.scc import strongly_connected_components
 from deepgraph_spark.algorithms.sssp import sssp
-from deepgraph_spark.algorithms.stats import graph_summary
+from deepgraph_spark.algorithms.stats import graph_summary, local_clustering
 from deepgraph_spark.algorithms.triangles import triangle_count, triangles_per_vertex
 from deepgraph_spark.algorithms.walks import random_walks
 
@@ -35,6 +35,7 @@ __all__ = [
     "k_truss",
     "label_propagation",
     "link_prediction_scores",
+    "local_clustering",
     "pagerank",
     "random_walks",
     "sssp",

@@ -34,6 +34,46 @@ from deepgraph_spark.algorithms.motifs import _undirected_simple
 from deepgraph_spark.algorithms.triangles import triangles_df
 
 
+def local_clustering(
+    edges: DataFrame, *, src: str = "s", dst: str = "t", index_col: str = "id"
+) -> DataFrame:
+    """(id, degree, triangles, clustering): per-vertex local clustering
+    coefficient triangles / C(degree, 2) (Watts–Strogatz), 0.0 for degree
+    <= 1 — the per-vertex companion of ``graph_summary``'s global
+    transitivity, and a standard hub/noise feature for link tables.
+
+    Same plan family: one symmetrize+distinct shared by the degree
+    aggregation and the degree-oriented triangle join; the per-vertex
+    triangle counts fan each triangle to its three corners (keyed agg);
+    one left join stitches them onto the degree table. The ratio divides
+    a long by a long-valued product — identical doubles on any engine."""
+    und = _undirected_simple(edges, src, dst).localCheckpoint(eager=True)
+    deg = und.groupBy(F.col("s").alias(index_col)).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    tri = triangles_df(und, src="s", dst="t")
+    corners = (
+        tri.select(F.col("a").alias(index_col))
+        .unionByName(tri.select(F.col("b").alias(index_col)))
+        .unionByName(tri.select(F.col("c").alias(index_col)))
+    )
+    per_v = corners.groupBy(index_col).agg(F.count(F.lit(1)).alias("triangles"))
+    out = deg.join(per_v, index_col, "left").select(
+        index_col,
+        "degree",
+        F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias("triangles"),
+        F.round(
+            F.when(
+                F.col("degree") >= 2,
+                F.coalesce(F.col("triangles"), F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1) / 2),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("clustering"),
+    )
+    return out
+
+
 def graph_summary(
     edges: DataFrame, *, src: str = "s", dst: str = "t"
 ) -> DataFrame:

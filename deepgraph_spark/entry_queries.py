@@ -961,6 +961,21 @@ def q_stream_incremental_dedup_documents(spark, sf_dir):
     )
 
 
+def q_local_clustering_events(spark, sf_dir):
+    """Per-vertex Watts–Strogatz clustering coefficient over the events band
+    graph — the per-vertex companion of graph_summary's transitivity."""
+    from deepgraph_spark.algorithms import local_clustering
+
+    e = event_edges(spark, sf_dir).select("s", "t")
+    out = local_clustering(e)
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("degree").cast("long").alias("degree"),
+        F.col("triangles").cast("long").alias("triangles"),
+        "clustering",
+    )
+
+
 HARMONIC_ORACLE_CAP = 30  # q_harmonic_events asserts engine max dist < this
 
 
@@ -2075,6 +2090,40 @@ def _random_walks_oracle_sql(walk_length: int = 4, seed: int = 7) -> str:
 
 ORACLES["random_walks_events"] = _random_walks_oracle_sql()
 
+# local clustering: canonical triangle enumeration fanned to corners,
+# joined onto symmetrized degrees; ratio shape mirrors stats.py exactly
+# (BIGINT*(BIGINT-1)/2 float-divides on both engines)
+ORACLES["local_clustering_events"] = f"""
+    WITH e AS (SELECT s, t FROM ({EVENT_EDGES_SQL})),
+    und AS MATERIALIZED (
+        SELECT DISTINCT s, t FROM (
+            SELECT s, t FROM e WHERE s != t
+            UNION ALL
+            SELECT t AS s, s AS t FROM e WHERE s != t
+        )
+    ),
+    deg AS MATERIALIZED (SELECT s AS id, COUNT(*) AS degree FROM und GROUP BY s),
+    can AS (SELECT s, t FROM und WHERE s < t),
+    tri AS (
+        SELECT e1.s AS a, e1.t AS b, e2.t AS c
+        FROM can e1 JOIN can e2 ON e1.t = e2.s
+                    JOIN can e3 ON e3.s = e1.s AND e3.t = e2.t
+    ),
+    per_v AS (
+        SELECT id, COUNT(*) AS triangles FROM (
+            SELECT a AS id FROM tri
+            UNION ALL SELECT b AS id FROM tri
+            UNION ALL SELECT c AS id FROM tri
+        ) GROUP BY id
+    )
+    SELECT d.id, d.degree,
+           COALESCE(p.triangles, 0) AS triangles,
+           ROUND(CASE WHEN d.degree >= 2
+                      THEN COALESCE(p.triangles, 0) / (d.degree * (d.degree - 1) / 2)
+                      ELSE 0.0::DOUBLE END, 6) AS clustering
+    FROM deg d LEFT JOIN per_v p ON p.id = d.id
+"""
+
 # sampled harmonic centrality: seed-labeled recursive walk (the bfs_events
 # oracle's cap discipline, one label column wider), min dist per (seed, id),
 # then the Σ 1/dist estimator with the Spark expression shape
@@ -2890,4 +2939,6 @@ EXTRA_QUERIES = {
     "random_walks_events": q_random_walks_events,
     # sampled harmonic centrality: seed-labeled recursive-CTE mirror
     "harmonic_events": q_harmonic_events,
+    # per-vertex clustering coefficient (triangle fan-out + degree join)
+    "local_clustering_events": q_local_clustering_events,
 }

@@ -72,3 +72,43 @@ def test_regular_graph_null_assortativity(spark):
     assert got["assortativity"] is None
     assert got["avg_degree"] == pytest.approx(2.0)
     assert got["global_clustering"] == 0.0
+
+
+def test_local_clustering_values(spark):
+    """Triangle + pendant: triangle vertices have clustering 1 except the
+    one carrying the pendant (deg 3, 1 triangle of C(3,2)=3 wedges)."""
+    from deepgraph_spark.algorithms import local_clustering
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (0, 9)], "s long, t long"
+    )
+    got = {r["id"]: r for r in local_clustering(e).collect()}
+    assert got[1]["clustering"] == pytest.approx(1.0)
+    assert got[2]["clustering"] == pytest.approx(1.0)
+    assert got[0]["degree"] == 3 and got[0]["triangles"] == 1
+    assert got[0]["clustering"] == pytest.approx(1.0 / 3.0)
+    assert got[9]["degree"] == 1 and got[9]["clustering"] == 0.0
+
+
+@pytest.mark.parametrize("seed,n,m", [(0, 25, 60), (2, 20, 150)])
+def test_local_clustering_vs_brute(spark, seed, n, m):
+    from deepgraph_spark.algorithms import local_clustering
+
+    e = random_digraph(n, m, seed=seed)
+    adj = {}
+    for s, t in e:
+        s, t = int(s), int(t)
+        if s == t:
+            continue
+        adj.setdefault(s, set()).add(t)
+        adj.setdefault(t, set()).add(s)
+    got = {r["id"]: r for r in local_clustering(
+        spark.createDataFrame([(int(a), int(b)) for a, b in e], "s long, t long")
+    ).collect()}
+    assert set(got) == set(adj)
+    for v, ns in adj.items():
+        d = len(ns)
+        tri = sum(1 for a in ns for b in ns if a < b and b in adj[a])
+        assert got[v]["degree"] == d and got[v]["triangles"] == tri
+        want = tri / (d * (d - 1) / 2) if d >= 2 else 0.0
+        assert got[v]["clustering"] == pytest.approx(want, abs=2e-6)
