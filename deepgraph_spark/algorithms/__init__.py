@@ -7,7 +7,11 @@ checkpointed DataFrames.
 """
 
 from deepgraph_spark.algorithms.bfs import bfs
-from deepgraph_spark.algorithms.centrality import harmonic_centrality, seeded_bfs
+from deepgraph_spark.algorithms.centrality import (
+    betweenness_centrality,
+    harmonic_centrality,
+    seeded_bfs,
+)
 from deepgraph_spark.algorithms.checkpoint import SuperstepCheckpoint
 from deepgraph_spark.algorithms.components import connected_components
 from deepgraph_spark.algorithms.kcore import k_core
@@ -24,6 +28,7 @@ from deepgraph_spark.algorithms.walks import random_walks
 
 __all__ = [
     "SuperstepCheckpoint",
+    "betweenness_centrality",
     "bfs",
     "common_neighbor_pairs",
     "connected_components",

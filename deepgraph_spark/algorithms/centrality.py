@@ -81,6 +81,112 @@ def seeded_bfs(
     )
 
 
+def betweenness_centrality(
+    edges: DataFrame,
+    sources: DataFrame,
+    *,
+    src: str = "s",
+    dst: str = "t",
+    direction: str = "undirected",
+    max_iter: int = 100,
+) -> DataFrame:
+    """Sampled betweenness (Brandes 2001 dependency accumulation over a
+    seed sample — the standard estimator; exact betweenness is O(n·m)):
+    (id, betweenness) with betweenness(v) = Σ_seeds δ_seed(v).
+
+    Forward phase: one frontier level at a time PER SEED, each new level's
+    shortest-path counts σ aggregated from its predecessors (one keyed
+    join + one keyed sum + one anti-join per level). Backward phase:
+    δ accumulates level-by-level downward, δ(v) = Σ_{w: succ}
+    σ(v)/σ(w) · (1 + δ(w)) — each level is computed exactly once from the
+    level above, so there is no iterated-self-join lineage growth; every
+    level is checkpointed. Raises if the BFS is still expanding after
+    ``max_iter`` levels (the gate passes the oracle's unroll cap here, so
+    engine and oracle depths can never silently diverge)."""
+    if direction not in ("forward", "backward", "undirected"):
+        raise ValueError("direction must be forward | backward | undirected")
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if direction == "backward":
+        e = e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    elif direction == "undirected":
+        e = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    e = e.where(F.col("a") != F.col("b")).distinct().localCheckpoint(eager=True)
+
+    f0 = (
+        sources.select(F.col(sources.columns[0]).alias("seed"))
+        .distinct()
+        .select("seed", F.col("seed").alias("id"), F.lit(1).cast("long").alias("sigma"))
+        .localCheckpoint(eager=True)
+    )
+    levels = [f0]
+    visited = f0.select("seed", "id")
+    for _ in range(max_iter):
+        cand = (
+            levels[-1]
+            .join(e, F.col("id") == F.col("a"))
+            .groupBy("seed", F.col("b").alias("nid"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .withColumnRenamed("nid", "id")
+        )
+        new = cand.join(visited, ["seed", "id"], "left_anti").localCheckpoint(
+            eager=True
+        )
+        if new.count() == 0:
+            break
+        levels.append(new)
+        visited = (
+            visited.unionByName(new.select("seed", "id"))
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise RuntimeError(
+            f"betweenness_centrality BFS still expanding after max_iter="
+            f"{max_iter} levels"
+        )
+
+    if len(levels) == 1:
+        return f0.select(
+            F.col("id"), F.lit(0.0).alias("betweenness")
+        ).where(F.lit(False))
+    dl = levels[-1].withColumn("delta", F.lit(0.0))
+    # every reached non-seed vertex appears in the result, zero or not:
+    # the deepest level contributes its (terminal, delta = 0) rows
+    acc = [dl.select("id", "delta")]
+    for k in range(len(levels) - 2, -1, -1):
+        w = dl.select(
+            "seed",
+            F.col("id").alias("wid"),
+            F.col("sigma").alias("wsigma"),
+            "delta",
+        )
+        succ = e.select(F.col("a").alias("id"), F.col("b").alias("wid"))
+        contrib = (
+            levels[k]
+            .join(succ, "id")
+            .join(w, ["seed", "wid"])
+            .groupBy("seed", "id")
+            .agg(
+                F.sum(
+                    F.col("sigma") / F.col("wsigma") * (F.lit(1.0) + F.col("delta"))
+                ).alias("c")
+            )
+        )
+        dl = (
+            levels[k]
+            .join(contrib, ["seed", "id"], "left")
+            .select(
+                "seed", "id", "sigma", F.coalesce(F.col("c"), F.lit(0.0)).alias("delta")
+            )
+            .localCheckpoint(eager=False)
+        )
+        if k >= 1:
+            acc.append(dl.select("id", "delta"))
+    out = acc[0]
+    for df in acc[1:]:
+        out = out.unionByName(df)
+    return out.groupBy("id").agg(F.sum("delta").alias("betweenness"))
+
+
 def harmonic_centrality(
     edges: DataFrame,
     sources: DataFrame,

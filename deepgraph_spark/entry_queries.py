@@ -976,6 +976,29 @@ def q_local_clustering_events(spark, sf_dir):
     )
 
 
+BETWEENNESS_ORACLE_CAP = 12  # engine runs max_iter=CAP, raising past it
+
+
+def q_betweenness_events(spark, sf_dir):
+    """Sampled betweenness (Brandes dependency accumulation over the
+    hash-chosen seed sample) on the undirected events band graph. The gate
+    passes the oracle's unroll cap as max_iter, so the engine raises rather
+    than silently diverging from the depth-capped SQL mirror."""
+    from deepgraph_spark.algorithms import betweenness_centrality
+
+    e = event_edges(spark, sf_dir).select("s", "t")
+    seeds = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_id") % 997 == 0)
+        .select(F.col("event_id").alias("id"))
+    )
+    out = betweenness_centrality(e, seeds, max_iter=BETWEENNESS_ORACLE_CAP)
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        F.round("betweenness", 6).alias("betweenness"),
+    )
+
+
 HARMONIC_ORACLE_CAP = 30  # q_harmonic_events asserts engine max dist < this
 
 
@@ -2090,6 +2113,69 @@ def _random_walks_oracle_sql(walk_length: int = 4, seed: int = 7) -> str:
 
 ORACLES["random_walks_events"] = _random_walks_oracle_sql()
 
+def _betweenness_oracle_sql(cap: int = BETWEENNESS_ORACLE_CAP) -> str:
+    """Two-phase unrolled Brandes mirror: forward levels f0..f{cap} carry
+    per-(seed, vertex) shortest-path counts σ (each level = predecessor-σ
+    sum, gated by the cumulative visited set); backward levels dl{cap}..dl1
+    accumulate δ = Σ σ(v)/σ(w)·(1+δ(w)) downward. Levels past the true BFS
+    depth are empty → every extra unrolled stage is a no-op, exactly like
+    the ktruss/random-walk oracles."""
+    parts = [
+        f"""e AS (SELECT s, t FROM ({EVENT_EDGES_SQL})),
+    sym AS MATERIALIZED (
+        SELECT s AS a, t AS b FROM e WHERE s != t
+        UNION
+        SELECT t AS a, s AS b FROM e WHERE s != t
+    ),
+    f0 AS MATERIALIZED (
+        SELECT event_id AS seed, event_id AS id, 1::BIGINT AS sigma
+        FROM events WHERE event_id % 997 = 0
+    ),
+    v0 AS MATERIALIZED (SELECT seed, id FROM f0)"""
+    ]
+    for k in range(cap):
+        parts.append(
+            f"""f{k + 1} AS MATERIALIZED (
+        SELECT f.seed, sy.b AS id, SUM(f.sigma) AS sigma
+        FROM f{k} f JOIN sym sy ON sy.a = f.id
+        LEFT JOIN v{k} vis ON vis.seed = f.seed AND vis.id = sy.b
+        WHERE vis.id IS NULL
+        GROUP BY f.seed, sy.b)"""
+        )
+        parts.append(
+            f"""v{k + 1} AS MATERIALIZED (
+        SELECT seed, id FROM v{k} UNION ALL SELECT seed, id FROM f{k + 1})"""
+        )
+    parts.append(
+        f"dl{cap} AS MATERIALIZED "
+        f"(SELECT seed, id, sigma, 0.0::DOUBLE AS delta FROM f{cap})"
+    )
+    for k in range(cap - 1, 0, -1):
+        parts.append(
+            f"""dl{k} AS MATERIALIZED (
+        SELECT f.seed, f.id, f.sigma,
+               COALESCE(SUM(f.sigma / j.wsigma * (1.0::DOUBLE + j.delta)),
+                        0.0::DOUBLE) AS delta
+        FROM f{k} f
+        LEFT JOIN (SELECT sy.a AS vid, w.seed, w.sigma AS wsigma, w.delta
+                   FROM sym sy JOIN dl{k + 1} w ON w.id = sy.b) j
+          ON j.vid = f.id AND j.seed = f.seed
+        GROUP BY f.seed, f.id, f.sigma)"""
+        )
+    union = "\n        UNION ALL ".join(
+        f"SELECT id, delta FROM dl{k}" for k in range(1, cap + 1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT id, ROUND(SUM(delta), 6) AS betweenness
+    FROM ({union}) GROUP BY id"""
+    )
+
+
+ORACLES["betweenness_events"] = _betweenness_oracle_sql()
+
 # local clustering: canonical triangle enumeration fanned to corners,
 # joined onto symmetrized degrees; ratio shape mirrors stats.py exactly
 # (BIGINT*(BIGINT-1)/2 float-divides on both engines)
@@ -2941,4 +3027,6 @@ EXTRA_QUERIES = {
     "harmonic_events": q_harmonic_events,
     # per-vertex clustering coefficient (triangle fan-out + degree join)
     "local_clustering_events": q_local_clustering_events,
+    # sampled Brandes betweenness: two-phase unrolled σ/δ mirror
+    "betweenness_events": q_betweenness_events,
 }
