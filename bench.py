@@ -254,6 +254,13 @@ def group_kernels2() -> dict:
     times["harmonic_events"] = _repeat(
         lambda: harmonic_centrality(e, hc_seeds).agg(F.sum("harmonic")).collect()
     )
+    from deepgraph_spark.algorithms import betweenness_centrality
+
+    times["betweenness_events"] = _repeat(
+        lambda: betweenness_centrality(e, hc_seeds)
+        .agg(F.sum("betweenness"))
+        .collect()
+    )
     # real-work action (count() join-elimination audit, see group_docs)
     times["line_dedup"] = _repeat(
         lambda: q_line_dedup_documents(spark, SF_DIR)
