@@ -168,6 +168,25 @@ filter back onto the edges. All narrow long pairs; per-round volume shrinks
 monotonically as edges peel. The loop re-checkpoints each round so the
 iterated-self-join lineage pathology never builds."""))
 
+from deepgraph_spark.algorithms import random_walks as _rw
+sections.append(("Deterministic random walks (ranked adjacency + per-step hash pick)", cap(
+    _rw(_lp_e, walk_length=2, seed=7)),
+"""Neighbor ranking is ONE keyed window (partitioned by vertex, never
+global), checkpointed once; each step is a degree join + a (vertex, rank)
+equi-join into the ranked adjacency, state two longs per walk. The hash
+pick keeps the corpus a pure function of graph + seed — rerunning a failed
+shard regenerates byte-identical sequences."""))
+
+from deepgraph_spark.algorithms import harmonic_centrality as _hc
+_hc_seeds = _lp_e.select(F.col("s").alias("id")).distinct().limit(4).localCheckpoint(eager=True)
+sections.append(("Sampled harmonic centrality (seed-labeled BFS + 1/d aggregation)", cap(
+    _hc(_lp_e, _hc_seeds)),
+"""Per-seed frontiers ride (seed, id, dist) triples — one equi-join + one
+anti-join per level, one action per superstep; the estimator is a single
+keyed aggregation over the distance table. Betweenness shares the loop
+shape with a sigma column forward and a per-level delta pass backward,
+each level checkpointed exactly once (no iterated-lineage growth)."""))
+
 sections.append(("k-core peel round (degree agg + two anti-joins)", cap(_kc_round),
 """One peel round over the checkpointed undirected edge set: a map-side-
 combined degree aggregate, then two left-anti joins against the (small,
