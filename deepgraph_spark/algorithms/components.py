@@ -26,6 +26,36 @@ from pyspark.sql import functions as F
 from deepgraph_spark.algorithms.checkpoint import SuperstepCheckpoint
 
 
+def _unionfind_min_labels(pairs) -> dict:
+    """Union-find with path compression over a small collected edge list:
+    vertex -> min member id of its component — the same canonical label the
+    distributed extraction produces. Used only below
+    ``serial_tail_threshold`` (bounded driver work, the same serial-cutover
+    pattern as SCC's ``_tarjan_min_labels``)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pairs:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by label order so every root is its component's min
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    return {x: find(x) for x in parent}
+
+
 def _large_star(e: DataFrame) -> DataFrame:
     """(u,v) undirected → edges (v, m(u)) for v > u, m = min(Γ(u) ∪ {u})."""
     nbrs = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
@@ -72,10 +102,22 @@ def connected_components(
     consolidate_singles: bool = False,
     loop_partitions: int | None = None,
     persist_input: bool = False,
+    serial_tail_threshold: int = 50_000,
 ) -> DataFrame:
     """Returns ``(id, cp)``. ``cp`` is the size-ordered dense label by default
     (reference semantics); pass ``label_by_size=False`` for raw canonical
-    min-vertex labels."""
+    min-vertex labels.
+
+    ``serial_tail_threshold``: when the edge set is (or a star round contracts
+    it to) at most this many rows, the remainder is collected and finished
+    with a driver-side union-find — the same bounded serial cutover SCC's
+    Multistep tail uses (``_tarjan_min_labels``), producing bit-identical
+    canonical min labels. The up-front check is a bounded ``limit(t+1)``
+    probe on the raw input (scan stops early — never a full pass at scale);
+    past it, the cutover re-arms every superstep from the edge count the
+    convergence signature already computes (zero extra actions). ``0``
+    disables the tail (pure distributed loop). Disabled automatically with
+    durable checkpointing, whose resume protocol owns the loop state."""
     spark = edges.sparkSession
     ckpt = SuperstepCheckpoint(spark, checkpoint_dir, job_id)
 
@@ -93,6 +135,23 @@ def connected_components(
         e0 = e0.persist()
     e = e0
     conf_parts = spark.conf.get("spark.sql.shuffle.partitions", "32")
+
+    # Serial-tail pre-probe: a bounded limit(t+1) count. On the raw input the
+    # LocalLimit sits directly above the scan, so at corpus scale the probe
+    # stops after ~t rows — never a full pass. With persist_input the probe
+    # runs on the (cached) deduped set instead, so the rows it materializes
+    # are the ones superstep 0 / the collect would need anyway.
+    use_tail = bool(serial_tail_threshold) and not ckpt.enabled
+    tail_source = None
+    if use_tail:
+        probe_df = e0 if persist_input else edges.select(
+            F.col(src).alias("a"), F.col(dst).alias("b")
+        ).where(F.col(src) != F.col(dst))
+        if (
+            probe_df.limit(serial_tail_threshold + 1).count()
+            <= serial_tail_threshold
+        ):
+            tail_source = probe_df
 
     prev_sig = None
     prev_state = None
@@ -114,37 +173,69 @@ def connected_components(
                     max_iter = 0  # skip straight to labeling
                 start_iter += 1
 
-        for k in range(start_iter, max_iter):
-            e2 = _small_star(_large_star(e))
-            # one action per superstep: the signature aggregation materializes
-            # the (lazily) checkpointed edge set; durable mode re-reads parquet
-            if ckpt.enabled:
-                e2 = ckpt.save(k, e2, {"superstep": k})
-            else:
-                e2 = e2.localCheckpoint(eager=False)
-            sig_row = e2.agg(
-                F.count(F.lit(1)).alias("cnt"),
-                F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("hsh"),
-            ).collect()[0]
-            sig = (sig_row["cnt"], sig_row["hsh"])
-            converged = sig == prev_sig
-            if prev_state is not None and not ckpt.enabled:
-                prev_state.unpersist()
-            prev_state = e2
-            e = e2
-            ckpt.update_metrics(k, {"edges": int(sig_row["cnt"]), "converged": converged})
-            if converged:
-                break
-            prev_sig = sig
+        if tail_source is None:
+            for k in range(start_iter, max_iter):
+                e2 = _small_star(_large_star(e))
+                # one action per superstep: the signature aggregation materializes
+                # the (lazily) checkpointed edge set; durable mode re-reads parquet
+                if ckpt.enabled:
+                    e2 = ckpt.save(k, e2, {"superstep": k})
+                else:
+                    e2 = e2.localCheckpoint(eager=False)
+                sig_row = e2.agg(
+                    F.count(F.lit(1)).alias("cnt"),
+                    F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("hsh"),
+                ).collect()[0]
+                sig = (sig_row["cnt"], sig_row["hsh"])
+                converged = sig == prev_sig
+                if prev_state is not None and not ckpt.enabled:
+                    prev_state.unpersist()
+                prev_state = e2
+                e = e2
+                ckpt.update_metrics(k, {"edges": int(sig_row["cnt"]), "converged": converged})
+                if converged:
+                    break
+                prev_sig = sig
+                # star rounds contract the edge set geometrically — once the
+                # remainder fits the serial tail, finish it there (the count is
+                # the convergence signature's, so re-arming costs no action)
+                if use_tail and int(sig_row["cnt"]) <= serial_tail_threshold:
+                    tail_source = e2  # materialized by the signature action
+                    break
 
-        # final star forest: every a points at its component's min vertex b
-        labels = e.groupBy("a").agg(F.min("b").alias("cp_raw")).select(
-            F.col("a").alias(index_col), "cp_raw"
-        )
-        roots = e.select(F.col("b").alias(index_col)).distinct().join(
-            labels.select(index_col), index_col, "left_anti"
-        ).withColumn("cp_raw", F.col(index_col))
-        all_labeled = labels.union(roots.select(index_col, "cp_raw"))
+        if tail_source is not None:
+            # bounded driver tail: union-find over <= threshold edge rows —
+            # identical canonical min labels, zero further supersteps
+            labels_map = _unionfind_min_labels(
+                (row["a"], row["b"]) for row in tail_source.collect()
+            )
+            import pandas as pd
+            from pyspark.sql import types as T
+
+            id_type = e0.schema["a"].dataType
+            all_labeled = spark.createDataFrame(
+                pd.DataFrame(
+                    {
+                        index_col: list(labels_map.keys()),
+                        "cp_raw": list(labels_map.values()),
+                    }
+                ),
+                T.StructType(
+                    [
+                        T.StructField(index_col, id_type),
+                        T.StructField("cp_raw", id_type),
+                    ]
+                ),
+            )
+        else:
+            # final star forest: every a points at its component's min vertex b
+            labels = e.groupBy("a").agg(F.min("b").alias("cp_raw")).select(
+                F.col("a").alias(index_col), "cp_raw"
+            )
+            roots = e.select(F.col("b").alias(index_col)).distinct().join(
+                labels.select(index_col), index_col, "left_anti"
+            ).withColumn("cp_raw", F.col(index_col))
+            all_labeled = labels.union(roots.select(index_col, "cp_raw"))
 
         if vertices is not None:
             vs = vertices.select(F.col(vertices.columns[0]).alias(index_col)).distinct()

@@ -207,8 +207,9 @@ def pagerank(
     )
     # join mode co-locates the contribution join (partition by src);
     # broadcast mode makes the dst aggregation exchange-free (partition by dst);
-    # coloc mode builds its own dst-range layout below (skip this persist)
-    if mode != "coloc":
+    # coloc mode builds its own dst-range layout below; blocks mode maps ids
+    # to dense positions with a broadcast lookup instead of joins (skip both)
+    if mode not in ("coloc", "blocks"):
         part_key = "dst" if mode == "broadcast" else "src"
         # in-partition (src, dst) sort: consecutive probe hits on the same
         # src rank entry and near-sorted dst keys into the partial aggregate
@@ -245,7 +246,8 @@ def pagerank(
 
     if mode == "blocks":
         return _pagerank_blocks(
-            spark, verts_deg, edges_w, ranks, n, damping, tol, max_iter, ckpt, start_iter
+            spark, verts_deg, edges, src, dst, weight, n, damping, tol,
+            max_iter, ckpt, start_iter
         )
 
     coloc_e_p = coloc_needs = None
@@ -360,14 +362,29 @@ def pagerank(
     prev_state = None
     k = start_iter
 
-    # fast path (check_every=1, in-memory checkpointing): 2 stages/superstep.
-    # The dangling mass rides the checkpoint metrics as an observe() side
-    # output (zero extra stages), enters the next superstep as a literal, and
-    # the state materializes through a noop sink (no final-aggregate task) —
-    # vs 5 stages for the in-plan-dangling chain. Identical arithmetic: the
-    # observed double is the same value the in-plan aggregate would broadcast.
+    # fast path (check_every=1, in-memory checkpointing): TWO pipelined
+    # supersteps per action with check_every=1 semantics preserved exactly.
+    # Per-action fixed cost (driver-side planning, py4j plan build, action
+    # dispatch) measured ~0.7 s/action at bench scale — more than the
+    # superstep's own stages — so step k+1 is chained into step k's action:
+    # its dangling mass is the in-plan 1-row aggregate over state k (the same
+    # double the observation reports — the chained loop below has always
+    # relied on that equivalence), and if step k turns out converged, state
+    # k+1 is simply DISCARDED, so the returned ranks are bit-identical to the
+    # one-step-per-action loop (at most one wasted superstep of compute at
+    # the end). Convergence metrics still come from per-state observe() side
+    # outputs (zero extra stages beyond the step-2 dangling aggregate).
     if check_every == 1 and not ckpt.enabled and k < max_iter:
         from pyspark.sql import Observation
+
+        def _obs_cols():
+            return (
+                F.sum(F.abs(F.col("rank") - F.col("prev"))).alias("l1"),
+                F.max(F.abs(F.col("rank") - F.col("prev"))).alias("linf"),
+                F.coalesce(
+                    F.sum(F.when(F.col("outdeg") == 0, F.col("rank"))), F.lit(0.0)
+                ).alias("dng"),
+            )
 
         dng = float(
             ranks.agg(
@@ -382,35 +399,73 @@ def pagerank(
             # a literal): the superstep plan is then byte-identical across
             # supersteps, so whole-stage-codegen caches hit every iteration
             dng_df = spark.createDataFrame([(float(dng),)], "_dng double")
-            state = one_superstep(ranks, dng_df).localCheckpoint(eager=False)
-            obs = Observation()
-            observed = state.observe(
-                obs,
-                F.sum(F.abs(F.col("rank") - F.col("prev"))).alias("l1"),
-                F.max(F.abs(F.col("rank") - F.col("prev"))).alias("linf"),
-                F.coalesce(
-                    F.sum(F.when(F.col("outdeg") == 0, F.col("rank"))), F.lit(0.0)
-                ).alias("dng"),
-            )
-            observed.write.format("noop").mode("overwrite").save()
-            m = obs.get
+            s1 = one_superstep(ranks, dng_df).localCheckpoint(eager=False)
+            obs1 = Observation()
+            o1 = s1.observe(obs1, *_obs_cols())
+            paired = k + 1 < max_iter
+            if paired:
+                # step 2's dangling reads THROUGH the observed wrapper, so the
+                # step-1 metrics fire exactly once (during the broadcast
+                # build); the contribution join reads the cached s1 directly
+                dng2_df = o1.agg(
+                    F.coalesce(
+                        F.sum(F.when(F.col("outdeg") == 0, F.col("rank"))),
+                        F.lit(0.0),
+                    ).alias("_dng")
+                )
+                s2 = one_superstep(s1.drop("prev"), dng2_df).localCheckpoint(
+                    eager=False
+                )
+                obs2 = Observation()
+                o2 = s2.observe(obs2, *_obs_cols())
+                o2.write.format("noop").mode("overwrite").save()
+            else:
+                s2 = obs2 = None
+                o1.write.format("noop").mode("overwrite").save()
+            m1 = obs1.get
+            dt = time.time() - t0
             if prev_state is not None:
                 prev_state.unpersist()
-            prev_state = state
-            dng = float(m["dng"])
-            metrics = {
-                "l1": float(m["l1"]),
-                "linf": float(m["linf"]),
+            metrics1 = {
+                "l1": float(m1["l1"]),
+                "linf": float(m1["linf"]),
                 "n_vertices": n,
                 "supersteps": 1,
-                "superstep_sec": time.time() - t0,
+                "superstep_sec": dt / (2 if paired else 1),
                 "mode": mode,
                 "salt": salt or 0,
             }
-            ranks = state.drop("prev")
-            history.append(metrics)
+            history.append(metrics1)
             k += 1
-            if metrics["l1"] < tol:
+            if not paired or metrics1["l1"] < tol:
+                # converged at step 1 (or no step 2 scheduled): the pipelined
+                # state 2 is discarded unmaterialized-for-the-caller — the
+                # returned ranks match the one-step loop exactly
+                if s2 is not None:
+                    s2.unpersist()
+                prev_state = s1
+                ranks = s1.drop("prev")
+                dng = float(m1["dng"])
+                if metrics1["l1"] < tol:
+                    break
+                continue
+            m2 = obs2.get
+            s1.unpersist()
+            prev_state = s2
+            ranks = s2.drop("prev")
+            dng = float(m2["dng"])
+            metrics2 = {
+                "l1": float(m2["l1"]),
+                "linf": float(m2["linf"]),
+                "n_vertices": n,
+                "supersteps": 1,
+                "superstep_sec": dt / 2,
+                "mode": mode,
+                "salt": salt or 0,
+            }
+            history.append(metrics2)
+            k += 1
+            if metrics2["l1"] < tol:
                 break
         max_iter = k  # fast path ran to termination; skip the chained loop
 
@@ -481,43 +536,115 @@ def pagerank(
 # ---------------------------------------------------------------------------
 
 
-def _pagerank_blocks(spark, verts_deg, edges_w, ranks, n, damping, tol, max_iter, ckpt, start_iter):
+def _pagerank_blocks(spark, verts_deg, edges, src, dst, weight, n, damping, tol, max_iter, ckpt, start_iter):
     """Dense-position CSR accelerator: rank vector broadcast per superstep,
-    per-partition numpy SpMV, pre-aggregated partials shuffled once."""
-    # dense positions via zipWithIndex (two-pass partition-offset scheme) —
-    # no single-partition global window, so id assignment stays distributed
-    pos = (
+    per-partition numpy SpMV over pre-packed CSR blocks, pre-aggregated
+    partials collected once per superstep (never the edge stream).
+
+    Blocks mode's contract is that the rank vector fits in executor memory
+    (≲10^8 vertices), so the (id, outdeg) table fits on the driver by the
+    same bound — the id→dense-position map therefore rides a broadcast
+    sorted-id array and the pack stage resolves positions with
+    ``np.searchsorted`` instead of two join passes (round-9: the joins, the
+    zipWithIndex round-trip, and the separate ``edges_w`` build+persist were
+    ~40% of the mode's wall time; the single exchange left is the dst
+    repartition). The edge table is converted to numpy ONCE: each
+    dst-partition packs its (sp, tp, w) arrays into one binary row, and the
+    parsed blocks — edges sorted by tp with ``np.unique`` offsets, i.e. a
+    CSR row index — persist as a Python-object RDD. Every superstep is then
+    one map-only job whose per-task work is two vectorized numpy ops
+    (gather-multiply + ``add.reduceat``), instead of re-decoding the whole
+    cached edge DataFrame through Arrow→pandas and re-grouping it per
+    iteration (the round-8 profile: that conversion+groupby dominated the
+    0.43 s/superstep; the floor now is the per-job dispatch itself)."""
+    pos_pd = (
         verts_deg.select("id", "outdeg")
-        .sort("id")
-        .rdd.zipWithIndex()
-        .map(lambda r: (r[0]["id"], r[0]["outdeg"], r[1]))
-        .toDF(["id", "outdeg", "pos"])
-        .persist()
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
     )
+    ids_sorted = pos_pd["id"].values  # dense position == index in this array
+    outdeg_arr = pos_pd["outdeg"].values.astype(np.float64)
+    dangling_mask = outdeg_arr == 0
+    sc = spark.sparkContext
+    lookup = sc.broadcast((ids_sorted, outdeg_arr))
+
     # partition by destination: every dst lives in exactly one partition, so
     # per-partition combine already yields globally-unique partial keys
     # (<= n rows collected per superstep) and sizing follows edge volume.
-    m_est = edges_w.count()
+    m_est = edges.count()
     n_parts = max(4, min(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), m_est // 100_000 + 1))
-    e_pos = (
-        edges_w.join(pos.select(F.col("id").alias("src"), F.col("pos").alias("sp")), "src")
-        .join(pos.select(F.col("id").alias("dst"), F.col("pos").alias("tp")), "dst")
-        .select("sp", "tp", "w")
-        .repartition(n_parts, "tp")
-        .persist()
-    )
-    e_pos.count()
-    pos_pd = pos.select("id", "pos", "outdeg").toPandas().sort_values("pos")
-    outdeg_arr = pos_pd["outdeg"].values
-    dangling_mask = outdeg_arr == 0
+    w_cols = [F.col("_ew")] if weight is not None else []
+    e_in = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_d"), *w_cols
+    ).repartition(n_parts, "_d")
+
+    def pack(it):
+        # one binary row per partition: only n_parts rows ever cross the
+        # Arrow boundary after this point
+        ids, od = lookup.value
+        sps, tps, ws = [], [], []
+        for pdf in it:
+            if not len(pdf):
+                continue
+            s = pdf["_s"].values
+            d = pdf["_d"].values
+            si = np.searchsorted(ids, s)
+            ti = np.searchsorted(ids, d)
+            np.clip(si, 0, len(ids) - 1, out=si)
+            np.clip(ti, 0, len(ids) - 1, out=ti)
+            # inner-join semantics of the old pos joins: drop edges whose
+            # endpoint is not a known vertex (only possible with an explicit
+            # vertices= subset)
+            ok = (ids[si] == s) & (ids[ti] == d)
+            if not ok.all():
+                si, ti = si[ok], ti[ok]
+                ew = pdf["_ew"].values[ok] if "_ew" in pdf else None
+            else:
+                ew = pdf["_ew"].values if "_ew" in pdf else None
+            numer = ew.astype(np.float64) if ew is not None else 1.0
+            sps.append(si.astype(np.int64))
+            tps.append(ti.astype(np.int64))
+            ws.append(numer / od[si])
+        if not sps:
+            return
+        sp = np.concatenate(sps)
+        tp = np.concatenate(tps)
+        w = np.concatenate(ws)
+        order = np.argsort(tp, kind="stable")
+        sp, tp, w = sp[order], tp[order], w[order]
+        ut, off = np.unique(tp, return_index=True)
+        yield pd.DataFrame(
+            {
+                "sp": [sp.tobytes()],
+                "ut": [ut.tobytes()],
+                "off": [off.astype(np.int64).tobytes()],
+                "w": [w.tobytes()],
+            }
+        )
+
+    packed = e_in.mapInPandas(pack, "sp binary, ut binary, off binary, w binary")
+
+    def parse(rows):
+        for row in rows:
+            yield (
+                np.frombuffer(row["sp"], dtype=np.int64),
+                np.frombuffer(row["ut"], dtype=np.int64),
+                np.frombuffer(row["off"], dtype=np.int64),
+                np.frombuffer(row["w"], dtype=np.float64),
+            )
+
+    blocks = packed.rdd.mapPartitions(parse, preservesPartitioning=True).persist()
+    blocks.count()
 
     r = np.full(n, 1.0 / n)
     if start_iter > 0:
         prev = ckpt.latest()
         if prev is not None:
-            rp = prev[1].toPandas().merge(pos_pd[["id", "pos"]], on="id")
+            rp = prev[1].toPandas()
+            rpos = np.searchsorted(ids_sorted, rp["id"].values)
             r = np.zeros(n)
-            r[rp["pos"].values] = rp["rank"].values
+            r[rpos] = rp["rank"].values
 
     sc = spark.sparkContext
     history = []
@@ -526,30 +653,17 @@ def _pagerank_blocks(spark, verts_deg, edges_w, ranks, n, damping, tol, max_iter
         b = sc.broadcast(r)
 
         def spmv(it):
-            # per-partition CSR-style combine: one bincount per Arrow batch,
-            # partials merged locally → shuffle-free map-side aggregation
+            # CSR SpMV per block: gather-multiply + segmented reduce; the
+            # yielded partials are <= one entry per distinct local dst
             rv = b.value
-            acc: dict[int, float] = {}
-            tps = None
-            vals = None
-            for pdf in it:
-                contrib = rv[pdf["sp"].values] * pdf["w"].values
-                agg = pd.DataFrame({"tp": pdf["tp"].values, "c": contrib}).groupby(
-                    "tp", sort=False
-                )["c"].sum()
-                if tps is None:
-                    tps, vals = agg.index.values, agg.values
-                else:
-                    merged = pd.Series(vals, index=tps).add(agg, fill_value=0.0)
-                    tps, vals = merged.index.values, merged.values
-            if tps is not None:
-                yield pd.DataFrame({"tp": tps, "c": vals})
+            for sp, ut, off, w in it:
+                yield ut, np.add.reduceat(rv[sp] * w, off)
 
-        # driver-side final combine (partials <= one row per distinct dst per
-        # partition) — no shuffle per superstep
-        sums = e_pos.mapInPandas(spmv, "tp long, c double").toPandas()
+        # driver-side final combine — tp-partitions are disjoint, so each
+        # block's partial adds into its own slice; no shuffle per superstep
         contrib = np.zeros(n)
-        np.add.at(contrib, sums["tp"].values, sums["c"].values)
+        for ut, sums in blocks.mapPartitions(spmv, preservesPartitioning=True).collect():
+            contrib[ut] += sums
         dangling = float(r[dangling_mask].sum())
         new_r = (1 - damping) / n + damping * (contrib + dangling / n)
         l1 = float(np.abs(new_r - r).sum())
@@ -564,7 +678,7 @@ def _pagerank_blocks(spark, verts_deg, edges_w, ranks, n, damping, tol, max_iter
         }
         if ckpt.enabled:
             state_df = spark.createDataFrame(
-                pd.DataFrame({"id": pos_pd["id"].values, "rank": new_r[pos_pd["pos"].values]})
+                pd.DataFrame({"id": pos_pd["id"].values, "rank": new_r})
             )
             ckpt.save(k, state_df, metrics)
         history.append(metrics)
@@ -573,9 +687,10 @@ def _pagerank_blocks(spark, verts_deg, edges_w, ranks, n, damping, tol, max_iter
         if l1 < tol:
             break
 
-    out = spark.createDataFrame(pd.DataFrame({"id": pos_pd["id"].values, "rank": r[pos_pd["pos"].values]}))
-    pos.unpersist()
-    e_pos.unpersist()
+    out = spark.createDataFrame(pd.DataFrame({"id": pos_pd["id"].values, "rank": r}))
+    verts_deg.unpersist()
+    blocks.unpersist()
+    lookup.destroy()
     return out, history
 
 

@@ -260,9 +260,13 @@ def curation_pipeline(
 
     # 1. redact PII on both sides (before dedup, so redacted boilerplate
     #    dedups; before decontamination, so eval grams match redacted text)
+    # lazy cut: the redacted corpus feeds three branches (the language
+    # filter, the quality filter, and the survivor table itself) and the
+    # triple-regex redaction chain is the pipeline's most expensive
+    # per-row map — materialize it once, not once per branch
     red_c = redact_pii(corpus, text_col=text_col, id_col=id_col).select(
         F.col(id_col), F.col("text_redacted").alias(text_col)
-    )
+    ).localCheckpoint(eager=False)
     red_e = redact_pii(eval_set, text_col=text_col, id_col=id_col).select(
         F.col(id_col), F.col("text_redacted").alias(text_col)
     )
@@ -314,6 +318,16 @@ def curation_pipeline(
         surv2 = surv2.join(
             sem_drops.select(F.col(emb_id_col).alias(id_col)), id_col, "left_anti"
         )
+
+    # The survivor table is referenced by several downstream branches (the
+    # decontamination gram build, its own anti-join, and the final
+    # split+pack chain); Catalyst does not share common subtrees across
+    # branches, so without a cut each branch re-runs the full redaction
+    # regex chain + both filters + the near-dup anti-join. A LAZY local
+    # checkpoint materializes the survivors once at the first action and
+    # every later branch reads the cached rows (measured: the composed
+    # pipeline re-evaluated this subtree 3x at bench scale).
+    surv2 = surv2.localCheckpoint(eager=False)
 
     # 5. decontamination against the (redacted) eval set
     contaminated = decontaminate(

@@ -124,6 +124,41 @@ def test_pagerank_star_skew(spark):
         assert np.allclose(got, oracle, atol=1e-6)
 
 
+def test_pagerank_blocks_vertex_subset_drops_unknown_edges(spark):
+    """blocks mode resolves ids through the broadcast searchsorted lookup
+    (round-9 rewrite); edges touching ids outside vertices= must be dropped
+    exactly like the old inner pos-joins did."""
+    e = spark.createDataFrame(
+        pd.DataFrame({"s": [0, 1, 2, 5, 0], "t": [1, 2, 0, 0, 7]})
+    )
+    v = spark.createDataFrame(pd.DataFrame({"id": [0, 1, 2]}))
+    oracle = pagerank_numpy_oracle(np.array([[0, 1], [1, 2], [2, 0]]), 3)
+    ranks, _ = pagerank(e, vertices=v, tol=1e-6, mode="blocks")
+    got = ranks.toPandas().sort_values("id")["rank"].values
+    assert np.allclose(got, oracle, atol=1e-6)
+
+
+def test_pagerank_blocks_resume(spark, tmp_path):
+    """Durable checkpoint/resume through the rewritten blocks loop."""
+    edges = random_digraph(60, 150, 5)
+    e, v = _dfs(spark, edges, 60)
+    ckdir = str(tmp_path / "ckb")
+    full, _ = pagerank(
+        e, vertices=v, tol=1e-6, mode="blocks", checkpoint_dir=ckdir, job_id="a"
+    )
+    full_pd = full.toPandas().sort_values("id")["rank"].values
+    pagerank(
+        e, vertices=v, tol=1e-6, mode="blocks", max_iter=3,
+        checkpoint_dir=ckdir, job_id="b",
+    )
+    resumed, _ = pagerank(
+        e, vertices=v, tol=1e-6, mode="blocks", checkpoint_dir=ckdir,
+        job_id="b", resume=True,
+    )
+    res_pd = resumed.toPandas().sort_values("id")["rank"].values
+    assert np.allclose(res_pd, full_pd, atol=1e-12)
+
+
 def test_pagerank_resume(spark, tmp_path):
     """Kill after superstep k, resume → identical final ranks (north_rule)."""
     edges = random_digraph(60, 150, 5)
@@ -157,13 +192,55 @@ def test_cc_parity(spark, name, n, m, seed):
     edges = random_digraph(n, m, seed)
     e, v = _dfs(spark, edges, n)
     expected = cc_oracle(edges, n)
+    # default (serial tail fires at these sizes) and pure-distributed loop
+    # must both reproduce the oracle labels exactly
+    for tail in (50_000, 0):
+        got = (
+            connected_components(
+                e, vertices=v, label_by_size=False, serial_tail_threshold=tail
+            )
+            .toPandas()
+            .sort_values("id")["cp"]
+            .values
+        )
+        assert (got == expected).all(), (name, tail)
+
+
+def test_cc_serial_tail_inloop_cutover(spark):
+    """A threshold between the raw edge count and the contracted star-round
+    size exercises the mid-loop cutover (the pre-probe fails, a star round
+    runs, then the signature count re-arms the tail); labels must equal the
+    distributed fixed point bit-for-bit, including for string vertex ids."""
+    edges = random_digraph(120, 400, 13)
+    e, v = _dfs(spark, edges, 120)
+    expected = cc_oracle(edges, 120)
     got = (
-        connected_components(e, vertices=v, label_by_size=False)
+        connected_components(
+            e, vertices=v, label_by_size=False, serial_tail_threshold=130
+        )
         .toPandas()
         .sort_values("id")["cp"]
         .values
     )
-    assert (got == expected).all(), name
+    assert (got == expected).all()
+    es = spark.createDataFrame(
+        pd.DataFrame(
+            {"s": [f"v{a:03d}" for a in edges[:, 0]], "t": [f"v{b:03d}" for b in edges[:, 1]]}
+        )
+    )
+    t_tail = (
+        connected_components(es, label_by_size=False, serial_tail_threshold=50_000)
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    t_dist = (
+        connected_components(es, label_by_size=False, serial_tail_threshold=0)
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert t_tail.equals(t_dist)
 
 
 def test_cc_label_by_size_and_consolidate(spark):
