@@ -124,99 +124,140 @@ def _min_labels_fg(
     prev_state = None
     prev_barrier: str | None = None
     t_loop = time.time()
-    try:
-        for it in range(max_iter):
-            t_it = time.time()
-            # fused f/g message pass: ONE edge-message join + ONE pivot
-            # aggregation carries both label kinds (f flows a→b, g flows
-            # b→a), halving the per-superstep stage count vs separate
-            # fnbr/gnbr joins — the dominant cost at small active sizes is
-            # per-stage dispatch, not rows
-            msg = e.select(
-                F.col("a").alias("u"), F.col("b").alias("v"), F.lit(True).alias("isf")
-            ).union(
-                e.select(F.col("b").alias("u"), F.col("a").alias("v"), F.lit(False).alias("isf"))
-            )
-            vals = msg.join(
-                lab.select(F.col("id").alias("u"), "flab", "glab"), "u"
-            ).select(
-                "v",
-                "isf",
-                F.when(F.col("isf"), F.col("flab")).otherwise(F.col("glab")).alias("val"),
-            )
-            nbr = vals.groupBy(F.col("v").alias("id")).agg(
-                F.min(F.when(F.col("isf"), F.col("val"))).alias("nf"),
-                F.min(F.when(~F.col("isf"), F.col("val"))).alias("ng"),
-            )
-            new = lab.join(nbr, "id", "left")
-            fterms = [F.col("flab"), F.coalesce("nf", "flab")]
-            gterms = [F.col("glab"), F.coalesce("ng", "glab")]
-            if jump:
-                # fused pointer jump: both label pointers resolve through one
-                # union + one join + one pivot agg (lab ← lab(lab) for f and g)
-                ptr = lab.select(
-                    "id", F.col("flab").alias("pid"), F.lit(True).alias("isf")
-                ).union(
-                    lab.select("id", F.col("glab").alias("pid"), F.lit(False).alias("isf"))
-                )
-                pv = ptr.join(
-                    lab.select(
-                        F.col("id").alias("pid"),
-                        F.col("flab").alias("pf"),
-                        F.col("glab").alias("pg"),
-                    ),
-                    "pid",
-                ).select(
-                    "id",
-                    "isf",
-                    F.when(F.col("isf"), F.col("pf")).otherwise(F.col("pg")).alias("val"),
-                )
-                jmp = pv.groupBy("id").agg(
-                    F.min(F.when(F.col("isf"), F.col("val"))).alias("jf"),
-                    F.min(F.when(~F.col("isf"), F.col("val"))).alias("jg"),
-                )
-                new = new.join(jmp, "id", "left")
-                fterms.append(F.coalesce("jf", "flab"))
-                gterms.append(F.coalesce("jg", "glab"))
-            # chg compares new vs old labels in-select (inputs still visible),
-            # so convergence is decided by the SAME action that materializes
-            # the superstep — exact, no hash signature needed
-            new = new.select(
-                "id",
-                F.least(*fterms).alias("flab"),
-                F.least(*gterms).alias("glab"),
-                (
-                    (F.least(*fterms) != F.col("flab"))
-                    | (F.least(*gterms) != F.col("glab"))
-                ).alias("chg"),
-            )
 
+    def build_step(lab_src, vals_lab=None):
+        """One superstep plan over ``lab_src`` (id, flab, glab).
+
+        Fused f/g message pass: ONE edge-message join + ONE pivot
+        aggregation carries both label kinds (f flows a→b, g flows b→a),
+        halving the per-superstep stage count vs separate fnbr/gnbr joins —
+        the dominant cost at small active sizes is per-stage dispatch, not
+        rows. ``vals_lab``, when given, is the observation-wrapped handle of
+        a pipelined pair's first state: exactly one reference (the message
+        join) reads labels through it, so its CollectMetrics fires exactly
+        once per action."""
+        vl = vals_lab if vals_lab is not None else lab_src
+        msg = e.select(
+            F.col("a").alias("u"), F.col("b").alias("v"), F.lit(True).alias("isf")
+        ).union(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"), F.lit(False).alias("isf"))
+        )
+        vals = msg.join(
+            vl.select(F.col("id").alias("u"), "flab", "glab"), "u"
+        ).select(
+            "v",
+            "isf",
+            F.when(F.col("isf"), F.col("flab")).otherwise(F.col("glab")).alias("val"),
+        )
+        nbr = vals.groupBy(F.col("v").alias("id")).agg(
+            F.min(F.when(F.col("isf"), F.col("val"))).alias("nf"),
+            F.min(F.when(~F.col("isf"), F.col("val"))).alias("ng"),
+        )
+        new = lab_src.join(nbr, "id", "left")
+        fterms = [F.col("flab"), F.coalesce("nf", "flab")]
+        gterms = [F.col("glab"), F.coalesce("ng", "glab")]
+        if jump:
+            # fused pointer jump: both label pointers resolve through one
+            # union + one join + one pivot agg (lab ← lab(lab) for f and g)
+            ptr = lab_src.select(
+                "id", F.col("flab").alias("pid"), F.lit(True).alias("isf")
+            ).union(
+                lab_src.select("id", F.col("glab").alias("pid"), F.lit(False).alias("isf"))
+            )
+            pv = ptr.join(
+                lab_src.select(
+                    F.col("id").alias("pid"),
+                    F.col("flab").alias("pf"),
+                    F.col("glab").alias("pg"),
+                ),
+                "pid",
+            ).select(
+                "id",
+                "isf",
+                F.when(F.col("isf"), F.col("pf")).otherwise(F.col("pg")).alias("val"),
+            )
+            jmp = pv.groupBy("id").agg(
+                F.min(F.when(F.col("isf"), F.col("val"))).alias("jf"),
+                F.min(F.when(~F.col("isf"), F.col("val"))).alias("jg"),
+            )
+            new = new.join(jmp, "id", "left")
+            fterms.append(F.coalesce("jf", "flab"))
+            gterms.append(F.coalesce("jg", "glab"))
+        # chg compares new vs old labels in-select (inputs still visible),
+        # so convergence is decided by the SAME action that materializes
+        # the superstep — exact, no hash signature needed
+        return new.select(
+            "id",
+            F.least(*fterms).alias("flab"),
+            F.least(*gterms).alias("glab"),
+            (
+                (F.least(*fterms) != F.col("flab"))
+                | (F.least(*gterms) != F.col("glab"))
+            ).alias("chg"),
+        )
+
+    # Per-ACTION fixed cost (driver planning + dispatch) rivals the
+    # superstep's own stages at small active sizes, so two supersteps are
+    # pipelined into one action whenever the parquet-barrier cadence allows
+    # (round-9; same amortization as the pagerank fast path). Convergence
+    # semantics are exact: a superstep applied to a fixed point is the
+    # identity with chg all-false, so breaking on the PAIR's final change
+    # count returns the same converged labels the one-step loop would.
+    from pyspark.sql import Observation
+
+    it = 0
+    n_chg = None
+    try:
+        while it < max_iter:
+            t_it = time.time()
+            paired = (it + 1 < max_iter) and (
+                not jump or jumps_done + 2 < barrier_every
+            )
+            s1 = build_step(lab).localCheckpoint(eager=False)
+            if paired:
+                obs1 = Observation()
+                o1 = s1.observe(
+                    obs1, F.sum(F.col("chg").cast("long")).alias("c")
+                )
+                state = build_step(
+                    s1.select("id", "flab", "glab"),
+                    vals_lab=o1.select("id", "flab", "glab"),
+                ).localCheckpoint(eager=False)
+                steps = 2
+            else:
+                state = s1
+                steps = 1
             if jump:
-                jumps_done += 1
+                jumps_done += steps
             if jump and jumps_done >= barrier_every:
                 path = os.path.join(barrier_dir, f"it_{it}")
-                new.write.mode("overwrite").parquet(path)
-                new = spark.read.parquet(path)
+                state.write.mode("overwrite").parquet(path)
+                state = spark.read.parquet(path)
                 if prev_barrier is not None:
                     shutil.rmtree(prev_barrier, ignore_errors=True)
                 prev_barrier = path
                 jumps_done = 0
-            else:
-                new = new.localCheckpoint(eager=False)
-            # single action: the change count materializes the superstep
-            n_chg = new.agg(F.sum(F.col("chg").cast("long")).alias("c")).collect()[0]["c"]
+            # single action per (pair of) superstep(s): the change count
+            # materializes the chain
+            n_chg = state.agg(
+                F.sum(F.col("chg").cast("long")).alias("c")
+            ).collect()[0]["c"]
             if _DEBUG:
+                n1 = int(obs1.get["c"]) if paired else None
                 print(
-                    f"[scc] superstep {it}: {time.time() - t_it:.2f}s "
-                    f"(loop {time.time() - t_loop:.2f}s) changed={n_chg}"
+                    f"[scc] superstep {it}(+{steps - 1}): {time.time() - t_it:.2f}s "
+                    f"(loop {time.time() - t_loop:.2f}s) changed={n_chg} first={n1}"
                 )
             if prev_state is not None:
                 prev_state.unpersist()
-            prev_state = new
-            lab = new.select("id", "flab", "glab")
+            if paired:
+                s1.unpersist()
+            prev_state = state
+            lab = state.select("id", "flab", "glab")
+            it += steps
             if not n_chg:
                 break
-        else:
+        if n_chg is None or n_chg:
             raise RuntimeError(
                 f"_min_labels_fg did not converge in {max_iter} supersteps — raise max_label_iter"
             )
@@ -424,7 +465,8 @@ def _trim(v, e, *, max_iter, stop_below=0, min_frac=0.1):
     peeled = None
     n_active = None
     keeps = []
-    for it in range(max_iter):
+
+    def one_peel(v, e):
         deg = (
             e.select(F.col("a").alias("id"), F.lit(1).alias("o"), F.lit(0).alias("i"))
             .union(e.select(F.col("b").alias("id"), F.lit(0).alias("o"), F.lit(1).alias("i")))
@@ -434,29 +476,48 @@ def _trim(v, e, *, max_iter, stop_below=0, min_frac=0.1):
         keep = (
             deg.where((F.col("od") > 0) & (F.col("idg") > 0))
             .select("id")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        keeps.append(keep)
-        n_keep = keep.count()
         newly = v.join(keep, "id", "left_anti").select(
             "id", F.col("id").alias("cp_raw")
         )
-        peeled = newly if peeled is None else peeled.union(newly)
-        v = keep
-        e = (
+        e2 = (
             e.join(keep.select(F.col("id").alias("a")), "a", "left_semi")
             .join(keep.select(F.col("id").alias("b")), "b", "left_semi")
         )
+        return keep, newly, e2
+
+    # TWO peels per action (round-9): the per-action fixed cost dominates a
+    # degree aggregation at active sizes this phase sees, so the second
+    # peel chains lazily onto the first's (lazy) checkpoint and one count
+    # materializes both. Stop rules apply at pair granularity — trim may
+    # thus run up to one extra peel vs the one-peel loop, which is pure
+    # (bounded) extra work: peeling more trivial SCCs can never change the
+    # final labels, it only shrinks what the label loop sees.
+    it = 0
+    while it < max_iter:
+        keep, newly, e = one_peel(v, e)
+        keeps.append(keep)
+        peeled = newly if peeled is None else peeled.union(newly)
+        v = keep
+        it += 1
+        if it < max_iter:
+            keep, newly, e = one_peel(v, e)
+            keeps.append(keep)
+            peeled = peeled.union(newly)
+            v = keep
+            it += 1
+        n_keep = v.count()  # materializes the (chained) lazy checkpoints
         prev_n, n_active = n_active, n_keep
         if _DEBUG:
-            print(f"[scc] trim {it}: active={n_active}")
+            print(f"[scc] trim {it - 1}: active={n_active}")
         if n_active <= stop_below or n_active == prev_n or (
             prev_n is not None and prev_n - n_active < min_frac * prev_n
         ):
             # converged, emptied, small enough for the caller's serial tail,
             # or the peel rate went marginal (< min_frac of the active set):
-            # each further iteration costs a fixed degree-aggregation action,
-            # and whatever survives is the label loop's job anyway
+            # each further pair costs a fixed action, and whatever survives
+            # is the label loop's job anyway
             break
     return v, e, peeled, n_active, keeps
 
