@@ -135,9 +135,13 @@ def pagerank(
         edges = edges.select(F.col(src), F.col(dst), *w_cols)
 
     verts = _vertices(edges, src, dst, vertices)
-    n = verts.count()
-    if n == 0:
-        return verts.withColumn("rank", F.lit(0.0)), []
+    if mode != "blocks":
+        # blocks mode collects (id, outdeg) to the driver anyway; it derives
+        # n (and the empty-graph case) from that one materialization instead
+        # of paying a separate distinct+count action here
+        n = verts.count()
+        if n == 0:
+            return verts.withColumn("rank", F.lit(0.0)), []
 
     # static: per-source weight 1/outdeg, persisted across supersteps.
     # edges_w is hash-partitioned by src and the rank state stays
@@ -176,6 +180,27 @@ def pagerank(
             .drop("_src")
         )
     state_cols = ["outdeg", "pv"] if personalized else ["outdeg"]
+
+    if mode == "blocks":
+        # early dispatch: the repartition+persist of the static state, the
+        # edges_w join build, and the resume-state join below all exist for
+        # the co-partitioned superstep joins of the other modes — blocks
+        # resolves everything through its driver-collected position table
+        ckpt = SuperstepCheckpoint(spark, checkpoint_dir, job_id)
+        start_iter = 0
+        if resume:
+            latest = ckpt.latest()
+            if latest is not None:
+                start_iter, _state, m = latest
+                if m.get("l1") is not None and m["l1"] < tol:
+                    start_iter = max_iter
+                else:
+                    start_iter += 1
+        return _pagerank_blocks(
+            spark, verts_deg, edges, src, dst, weight, damping, tol,
+            max_iter, ckpt, start_iter
+        )
+
     verts_deg = verts_deg.repartition(num_partitions, "id").persist()
 
     def check_weight_bound() -> None:
@@ -243,12 +268,6 @@ def pagerank(
 
     if weight is not None and start_iter < max_iter:
         check_weight_bound()
-
-    if mode == "blocks":
-        return _pagerank_blocks(
-            spark, verts_deg, edges, src, dst, weight, n, damping, tol,
-            max_iter, ckpt, start_iter
-        )
 
     coloc_e_p = coloc_needs = None
     if mode == "coloc":
@@ -536,7 +555,7 @@ def pagerank(
 # ---------------------------------------------------------------------------
 
 
-def _pagerank_blocks(spark, verts_deg, edges, src, dst, weight, n, damping, tol, max_iter, ckpt, start_iter):
+def _pagerank_blocks(spark, verts_deg, edges, src, dst, weight, damping, tol, max_iter, ckpt, start_iter):
     """Dense-position CSR accelerator: rank vector broadcast per superstep,
     per-partition numpy SpMV over pre-packed CSR blocks, pre-aggregated
     partials collected once per superstep (never the edge stream).
@@ -563,9 +582,21 @@ def _pagerank_blocks(spark, verts_deg, edges, src, dst, weight, n, damping, tol,
         .sort_values("id")
         .reset_index(drop=True)
     )
+    n = len(pos_pd)
+    if n == 0:
+        return verts_deg.select("id").withColumn("rank", F.lit(0.0)), []
     ids_sorted = pos_pd["id"].values  # dense position == index in this array
     outdeg_arr = pos_pd["outdeg"].values.astype(np.float64)
     dangling_mask = outdeg_arr == 0
+    if weight is not None and start_iter < max_iter and float(outdeg_arr.max()) >= 2.0**53:
+        # same exactness bound the shared check_weight_bound enforces for the
+        # join-family modes (round-6 advice), applied on the collected table
+        raise ValueError(
+            f"pagerank weight column {weight!r}: max per-source weight "
+            f"sum {outdeg_arr.max():.3e} >= 2^53, so double summation is no "
+            "longer exact and results become shuffle-order-dependent — "
+            "rescale weights to coarser units upstream"
+        )
     sc = spark.sparkContext
     lookup = sc.broadcast((ids_sorted, outdeg_arr))
 
@@ -688,7 +719,6 @@ def _pagerank_blocks(spark, verts_deg, edges, src, dst, weight, n, damping, tol,
             break
 
     out = spark.createDataFrame(pd.DataFrame({"id": pos_pd["id"].values, "rank": r}))
-    verts_deg.unpersist()
     blocks.unpersist()
     lookup.destroy()
     return out, history

@@ -125,18 +125,15 @@ def _min_labels_fg(
     prev_barrier: str | None = None
     t_loop = time.time()
 
-    def build_step(lab_src, vals_lab=None):
+    def build_step(lab_src):
         """One superstep plan over ``lab_src`` (id, flab, glab).
 
         Fused f/g message pass: ONE edge-message join + ONE pivot
         aggregation carries both label kinds (f flows a→b, g flows b→a),
         halving the per-superstep stage count vs separate fnbr/gnbr joins —
         the dominant cost at small active sizes is per-stage dispatch, not
-        rows. ``vals_lab``, when given, is the observation-wrapped handle of
-        a pipelined pair's first state: exactly one reference (the message
-        join) reads labels through it, so its CollectMetrics fires exactly
-        once per action."""
-        vl = vals_lab if vals_lab is not None else lab_src
+        rows."""
+        vl = lab_src
         msg = e.select(
             F.col("a").alias("u"), F.col("b").alias("v"), F.lit(True).alias("isf")
         ).union(
@@ -203,8 +200,6 @@ def _min_labels_fg(
     # semantics are exact: a superstep applied to a fixed point is the
     # identity with chg all-false, so breaking on the PAIR's final change
     # count returns the same converged labels the one-step loop would.
-    from pyspark.sql import Observation
-
     it = 0
     n_chg = None
     try:
@@ -215,13 +210,8 @@ def _min_labels_fg(
             )
             s1 = build_step(lab).localCheckpoint(eager=False)
             if paired:
-                obs1 = Observation()
-                o1 = s1.observe(
-                    obs1, F.sum(F.col("chg").cast("long")).alias("c")
-                )
                 state = build_step(
-                    s1.select("id", "flab", "glab"),
-                    vals_lab=o1.select("id", "flab", "glab"),
+                    s1.select("id", "flab", "glab")
                 ).localCheckpoint(eager=False)
                 steps = 2
             else:
@@ -243,7 +233,12 @@ def _min_labels_fg(
                 F.sum(F.col("chg").cast("long")).alias("c")
             ).collect()[0]["c"]
             if _DEBUG:
-                n1 = int(obs1.get["c"]) if paired else None
+                # cache read: the pair's action materialized s1's checkpoint
+                n1 = (
+                    s1.agg(F.sum(F.col("chg").cast("long"))).collect()[0][0]
+                    if paired
+                    else None
+                )
                 print(
                     f"[scc] superstep {it}(+{steps - 1}): {time.time() - t_it:.2f}s "
                     f"(loop {time.time() - t_loop:.2f}s) changed={n_chg} first={n1}"
