@@ -148,8 +148,23 @@ def pagerank(
     # hash-partitioned by id with the same partition count, so the
     # per-superstep contribution join is co-partitioned (no exchange on
     # either side) — the dst aggregation is the single shuffle per superstep.
-    if num_partitions is None:
-        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if num_partitions is None and mode != "blocks":
+        conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        # right-size the superstep loop to edge volume (~100k rows/partition,
+        # never above the session width — a 100 TB graph keeps the configured
+        # parallelism; same policy as the SCC loop and the blocks layout).
+        # The probe is a bounded limit(cap+1) count: LocalLimit stops the
+        # scan after ~cap rows, so it never costs a full pass at scale.
+        # Measured at bench scale (716k edges, local[32], conf 64): the
+        # 60-superstep loop drops 54 s → ~33 s at the clamped width — the
+        # per-superstep stages were dispatch-bound, 128 tasks moving ~17 MB.
+        cap = conf_parts * 100_000
+        m_probe = edges.limit(cap + 1).count()
+        num_partitions = (
+            conf_parts
+            if m_probe > cap
+            else min(conf_parts, max(8, m_probe // 100_000 + 1))
+        )
     if weight is not None:
         # Σ_out w(u) plays outdeg's role everywhere downstream (same column
         # name on purpose): w = _ew / outdeg, dangling iff outdeg == 0
@@ -381,168 +396,177 @@ def pagerank(
     prev_state = None
     k = start_iter
 
-    # fast path (check_every=1, in-memory checkpointing): TWO pipelined
-    # supersteps per action with check_every=1 semantics preserved exactly.
-    # Per-action fixed cost (driver-side planning, py4j plan build, action
-    # dispatch) measured ~0.7 s/action at bench scale — more than the
-    # superstep's own stages — so step k+1 is chained into step k's action:
-    # its dangling mass is the in-plan 1-row aggregate over state k (the same
-    # double the observation reports — the chained loop below has always
-    # relied on that equivalence), and if step k turns out converged, state
-    # k+1 is simply DISCARDED, so the returned ranks are bit-identical to the
-    # one-step-per-action loop (at most one wasted superstep of compute at
-    # the end). Convergence metrics still come from per-state observe() side
-    # outputs (zero extra stages beyond the step-2 dangling aggregate).
-    if check_every == 1 and not ckpt.enabled and k < max_iter:
-        from pyspark.sql import Observation
+    # the superstep loops run at the adaptive width: clamp the session
+    # shuffle partitions so the per-superstep dst aggregation matches the
+    # co-partitioned state width (restored below; SCC-loop discipline)
+    _conf_key = "spark.sql.shuffle.partitions"
+    _conf_saved = spark.conf.get(_conf_key, "32")
+    try:
+        spark.conf.set(_conf_key, str(num_partitions))
+        # fast path (check_every=1, in-memory checkpointing): TWO pipelined
+        # supersteps per action with check_every=1 semantics preserved exactly.
+        # Per-action fixed cost (driver-side planning, py4j plan build, action
+        # dispatch) measured ~0.7 s/action at bench scale — more than the
+        # superstep's own stages — so step k+1 is chained into step k's action:
+        # its dangling mass is the in-plan 1-row aggregate over state k (the same
+        # double the observation reports — the chained loop below has always
+        # relied on that equivalence), and if step k turns out converged, state
+        # k+1 is simply DISCARDED, so the returned ranks are bit-identical to the
+        # one-step-per-action loop (at most one wasted superstep of compute at
+        # the end). Convergence metrics still come from per-state observe() side
+        # outputs (zero extra stages beyond the step-2 dangling aggregate).
+        if check_every == 1 and not ckpt.enabled and k < max_iter:
+            from pyspark.sql import Observation
 
-        def _obs_cols():
-            return (
-                F.sum(F.abs(F.col("rank") - F.col("prev"))).alias("l1"),
-                F.max(F.abs(F.col("rank") - F.col("prev"))).alias("linf"),
-                F.coalesce(
-                    F.sum(F.when(F.col("outdeg") == 0, F.col("rank"))), F.lit(0.0)
-                ).alias("dng"),
+            def _obs_cols():
+                return (
+                    F.sum(F.abs(F.col("rank") - F.col("prev"))).alias("l1"),
+                    F.max(F.abs(F.col("rank") - F.col("prev"))).alias("linf"),
+                    F.coalesce(
+                        F.sum(F.when(F.col("outdeg") == 0, F.col("rank"))), F.lit(0.0)
+                    ).alias("dng"),
+                )
+
+            dng = float(
+                ranks.agg(
+                    F.coalesce(
+                        F.sum(F.when(F.col("outdeg") == 0, F.col("rank"))), F.lit(0.0)
+                    ).alias("d")
+                ).collect()[0]["d"]
             )
+            while k < max_iter:
+                t0 = time.time()
+                # the observed dangling mass enters as a 1-row LocalRelation (not
+                # a literal): the superstep plan is then byte-identical across
+                # supersteps, so whole-stage-codegen caches hit every iteration
+                dng_df = spark.createDataFrame([(float(dng),)], "_dng double")
+                s1 = one_superstep(ranks, dng_df).localCheckpoint(eager=False)
+                obs1 = Observation()
+                o1 = s1.observe(obs1, *_obs_cols())
+                paired = k + 1 < max_iter
+                if paired:
+                    # step 2's dangling reads THROUGH the observed wrapper, so the
+                    # step-1 metrics fire exactly once (during the broadcast
+                    # build); the contribution join reads the cached s1 directly
+                    dng2_df = o1.agg(
+                        F.coalesce(
+                            F.sum(F.when(F.col("outdeg") == 0, F.col("rank"))),
+                            F.lit(0.0),
+                        ).alias("_dng")
+                    )
+                    s2 = one_superstep(s1.drop("prev"), dng2_df).localCheckpoint(
+                        eager=False
+                    )
+                    obs2 = Observation()
+                    o2 = s2.observe(obs2, *_obs_cols())
+                    o2.write.format("noop").mode("overwrite").save()
+                else:
+                    s2 = obs2 = None
+                    o1.write.format("noop").mode("overwrite").save()
+                m1 = obs1.get
+                dt = time.time() - t0
+                if prev_state is not None:
+                    prev_state.unpersist()
+                metrics1 = {
+                    "l1": float(m1["l1"]),
+                    "linf": float(m1["linf"]),
+                    "n_vertices": n,
+                    "supersteps": 1,
+                    "superstep_sec": dt / (2 if paired else 1),
+                    "mode": mode,
+                    "salt": salt or 0,
+                }
+                history.append(metrics1)
+                k += 1
+                if not paired or metrics1["l1"] < tol:
+                    # converged at step 1 (or no step 2 scheduled): the pipelined
+                    # state 2 is discarded unmaterialized-for-the-caller — the
+                    # returned ranks match the one-step loop exactly
+                    if s2 is not None:
+                        s2.unpersist()
+                    prev_state = s1
+                    ranks = s1.drop("prev")
+                    dng = float(m1["dng"])
+                    if metrics1["l1"] < tol:
+                        break
+                    continue
+                m2 = obs2.get
+                s1.unpersist()
+                prev_state = s2
+                ranks = s2.drop("prev")
+                dng = float(m2["dng"])
+                metrics2 = {
+                    "l1": float(m2["l1"]),
+                    "linf": float(m2["linf"]),
+                    "n_vertices": n,
+                    "supersteps": 1,
+                    "superstep_sec": dt / 2,
+                    "mode": mode,
+                    "salt": salt or 0,
+                }
+                history.append(metrics2)
+                k += 1
+                if metrics2["l1"] < tol:
+                    break
+            max_iter = k  # fast path ran to termination; skip the chained loop
 
-        dng = float(
-            ranks.agg(
-                F.coalesce(
-                    F.sum(F.when(F.col("outdeg") == 0, F.col("rank"))), F.lit(0.0)
-                ).alias("d")
-            ).collect()[0]["d"]
-        )
         while k < max_iter:
             t0 = time.time()
-            # the observed dangling mass enters as a 1-row LocalRelation (not
-            # a literal): the superstep plan is then byte-identical across
-            # supersteps, so whole-stage-codegen caches hit every iteration
-            dng_df = spark.createDataFrame([(float(dng),)], "_dng double")
-            s1 = one_superstep(ranks, dng_df).localCheckpoint(eager=False)
-            obs1 = Observation()
-            o1 = s1.observe(obs1, *_obs_cols())
-            paired = k + 1 < max_iter
-            if paired:
-                # step 2's dangling reads THROUGH the observed wrapper, so the
-                # step-1 metrics fire exactly once (during the broadcast
-                # build); the contribution join reads the cached s1 directly
-                dng2_df = o1.agg(
+            steps = min(check_every, max_iter - k)
+            cur = ranks
+            intermediates = []
+            for i in range(steps):
+                if i > 0:
+                    # each superstep references `cur` twice (dangling-mass agg +
+                    # contribution join); a lazy localCheckpoint makes both refs
+                    # share one cached leaf, so the chained plan grows linearly in
+                    # check_every instead of ~2^k (still one action per chain)
+                    cur = cur.localCheckpoint(eager=False)
+                    intermediates.append(cur)
+                dng_df = cur.agg(
                     F.coalesce(
-                        F.sum(F.when(F.col("outdeg") == 0, F.col("rank"))),
-                        F.lit(0.0),
+                        F.sum(F.when(F.col("outdeg") == 0, F.col("rank"))), F.lit(0.0)
                     ).alias("_dng")
                 )
-                s2 = one_superstep(s1.drop("prev"), dng2_df).localCheckpoint(
-                    eager=False
-                )
-                obs2 = Observation()
-                o2 = s2.observe(obs2, *_obs_cols())
-                o2.write.format("noop").mode("overwrite").save()
+                cur = one_superstep(cur, dng_df)
+            k_end = k + steps - 1  # superstep index of the materialized state
+
+            if ckpt.enabled:
+                # durable path: parquet write + metrics on the re-read state
+                pre = {"n_vertices": n, "mode": mode, "salt": salt or 0}
+                state = ckpt.save(k_end, cur, pre)
             else:
-                s2 = obs2 = None
-                o1.write.format("noop").mode("overwrite").save()
-            m1 = obs1.get
-            dt = time.time() - t0
-            if prev_state is not None:
+                state = cur.localCheckpoint(eager=False)
+
+            row = state.agg(
+                F.sum(F.abs(F.col("rank") - F.col("prev"))).alias("l1"),
+                F.max(F.abs(F.col("rank") - F.col("prev"))).alias("linf"),
+            ).collect()[0]
+            if prev_state is not None and not ckpt.enabled:
+                # free the previous check point's local checkpoint — otherwise 50+
+                # cached states accumulate and GC pressure grows per iteration
                 prev_state.unpersist()
-            metrics1 = {
-                "l1": float(m1["l1"]),
-                "linf": float(m1["linf"]),
+            for im in intermediates:  # chained-superstep caches: done after collect
+                im.unpersist()
+            prev_state = state
+            metrics = {
+                "l1": float(row["l1"]),
+                "linf": float(row["linf"]),
                 "n_vertices": n,
-                "supersteps": 1,
-                "superstep_sec": dt / (2 if paired else 1),
+                "supersteps": steps,
+                "superstep_sec": (time.time() - t0) / steps,
                 "mode": mode,
                 "salt": salt or 0,
             }
-            history.append(metrics1)
-            k += 1
-            if not paired or metrics1["l1"] < tol:
-                # converged at step 1 (or no step 2 scheduled): the pipelined
-                # state 2 is discarded unmaterialized-for-the-caller — the
-                # returned ranks match the one-step loop exactly
-                if s2 is not None:
-                    s2.unpersist()
-                prev_state = s1
-                ranks = s1.drop("prev")
-                dng = float(m1["dng"])
-                if metrics1["l1"] < tol:
-                    break
-                continue
-            m2 = obs2.get
-            s1.unpersist()
-            prev_state = s2
-            ranks = s2.drop("prev")
-            dng = float(m2["dng"])
-            metrics2 = {
-                "l1": float(m2["l1"]),
-                "linf": float(m2["linf"]),
-                "n_vertices": n,
-                "supersteps": 1,
-                "superstep_sec": dt / 2,
-                "mode": mode,
-                "salt": salt or 0,
-            }
-            history.append(metrics2)
-            k += 1
-            if metrics2["l1"] < tol:
+            ranks = state.drop("prev")
+            history.append(metrics)
+            ckpt.update_metrics(k_end, metrics)
+            k = k_end + 1
+            if metrics["l1"] < tol:
                 break
-        max_iter = k  # fast path ran to termination; skip the chained loop
 
-    while k < max_iter:
-        t0 = time.time()
-        steps = min(check_every, max_iter - k)
-        cur = ranks
-        intermediates = []
-        for i in range(steps):
-            if i > 0:
-                # each superstep references `cur` twice (dangling-mass agg +
-                # contribution join); a lazy localCheckpoint makes both refs
-                # share one cached leaf, so the chained plan grows linearly in
-                # check_every instead of ~2^k (still one action per chain)
-                cur = cur.localCheckpoint(eager=False)
-                intermediates.append(cur)
-            dng_df = cur.agg(
-                F.coalesce(
-                    F.sum(F.when(F.col("outdeg") == 0, F.col("rank"))), F.lit(0.0)
-                ).alias("_dng")
-            )
-            cur = one_superstep(cur, dng_df)
-        k_end = k + steps - 1  # superstep index of the materialized state
-
-        if ckpt.enabled:
-            # durable path: parquet write + metrics on the re-read state
-            pre = {"n_vertices": n, "mode": mode, "salt": salt or 0}
-            state = ckpt.save(k_end, cur, pre)
-        else:
-            state = cur.localCheckpoint(eager=False)
-
-        row = state.agg(
-            F.sum(F.abs(F.col("rank") - F.col("prev"))).alias("l1"),
-            F.max(F.abs(F.col("rank") - F.col("prev"))).alias("linf"),
-        ).collect()[0]
-        if prev_state is not None and not ckpt.enabled:
-            # free the previous check point's local checkpoint — otherwise 50+
-            # cached states accumulate and GC pressure grows per iteration
-            prev_state.unpersist()
-        for im in intermediates:  # chained-superstep caches: done after collect
-            im.unpersist()
-        prev_state = state
-        metrics = {
-            "l1": float(row["l1"]),
-            "linf": float(row["linf"]),
-            "n_vertices": n,
-            "supersteps": steps,
-            "superstep_sec": (time.time() - t0) / steps,
-            "mode": mode,
-            "salt": salt or 0,
-        }
-        ranks = state.drop("prev")
-        history.append(metrics)
-        ckpt.update_metrics(k_end, metrics)
-        k = k_end + 1
-        if metrics["l1"] < tol:
-            break
-
+    finally:
+        spark.conf.set(_conf_key, _conf_saved)
     verts_deg.unpersist()
     if mode != "coloc":
         edges_w.unpersist()

@@ -70,6 +70,10 @@ def decontaminate(
         _token_kgrams(corpus, text_col, id_col, k)
         .select(F.col(id_col), hash60(F.col("gram")).alias("gh"))
         .distinct()
+        # referenced by BOTH the per-doc totals and the eval-collision join;
+        # a lazy cut materializes the tokenize+hash+distinct once instead of
+        # once per branch (Catalyst does not share subtrees across branches)
+        .localCheckpoint(eager=False)
     )
     eg = (
         _token_kgrams(eval_set, eval_text_col or text_col, id_col, k)
