@@ -47,7 +47,9 @@ def bfs(
         e = e.select(F.col("b").alias("a"), F.col("a").alias("b"))
     elif direction == "undirected":
         e = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    e = e.where(F.col("a") != F.col("b")).distinct()
+    # joined every round — materialize the deduped adjacency once instead of
+    # re-running the distinct per frontier expansion (sssp's discipline)
+    e = e.where(F.col("a") != F.col("b")).distinct().persist()
 
     visited = (
         sources.select(F.col(sources.columns[0]).alias("id"))
@@ -77,5 +79,7 @@ def bfs(
         frontier = new_visited.where(F.col("dist") == k).select("id")
     else:
         if max_depth is None or limit < max_depth:
+            e.unpersist()
             raise RuntimeError(f"bfs frontier still active after max_iter={max_iter}")
+    e.unpersist()  # visited is checkpointed per round; the cache can go
     return visited

@@ -48,37 +48,44 @@ def seeded_bfs(
         e = e.select(F.col("b").alias("a"), F.col("a").alias("b"))
     elif direction == "undirected":
         e = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    e = e.where(F.col("a") != F.col("b")).distinct()
+    # joined every round — materialize the deduped adjacency once instead of
+    # re-running the distinct per frontier expansion (bfs/sssp discipline)
+    e = e.where(F.col("a") != F.col("b")).distinct().persist()
 
-    visited = (
-        sources.select(F.col(sources.columns[0]).alias("seed"))
-        .distinct()
-        .select("seed", F.col("seed").alias("id"), F.lit(0).cast("long").alias("dist"))
-        .localCheckpoint(eager=True)
-    )
-    frontier = visited.select("seed", "id")
-    n_prev = visited.count()
-    limit = max_iter if max_depth is None else min(max_iter, max_depth)
-    for depth in range(1, limit + 1):
-        cand = (
-            frontier.join(e, F.col("id") == F.col("a"))
-            .select("seed", F.col("b").alias("id"))
+    try:
+        visited = (
+            sources.select(F.col(sources.columns[0]).alias("seed"))
             .distinct()
+            .select("seed", F.col("seed").alias("id"), F.lit(0).cast("long").alias("dist"))
+            .localCheckpoint(eager=True)
         )
-        new = cand.join(visited, ["seed", "id"], "left_anti").select(
-            "seed", "id", F.lit(depth).cast("long").alias("dist")
-        )
-        visited = visited.unionByName(new).localCheckpoint(eager=False)
-        n_cur = visited.count()
-        if n_cur == n_prev:
+        frontier = visited.select("seed", "id")
+        n_prev = visited.count()
+        limit = max_iter if max_depth is None else min(max_iter, max_depth)
+        for depth in range(1, limit + 1):
+            cand = (
+                frontier.join(e, F.col("id") == F.col("a"))
+                .select("seed", F.col("b").alias("id"))
+                .distinct()
+            )
+            new = cand.join(visited, ["seed", "id"], "left_anti").select(
+                "seed", "id", F.lit(depth).cast("long").alias("dist")
+            )
+            visited = visited.unionByName(new).localCheckpoint(eager=False)
+            n_cur = visited.count()
+            if n_cur == n_prev:
+                return visited
+            frontier = new.select("seed", "id")
+            n_prev = n_cur
+        if max_depth is not None:
             return visited
-        frontier = new.select("seed", "id")
-        n_prev = n_cur
-    if max_depth is not None:
-        return visited
-    raise RuntimeError(
-        f"seeded_bfs frontier still expanding after max_iter={max_iter} rounds"
-    )
+        raise RuntimeError(
+            f"seeded_bfs frontier still expanding after max_iter={max_iter} rounds"
+        )
+    finally:
+        # every round's visited state is checkpointed by its count action,
+        # so the adjacency cache can be released on any exit
+        e.unpersist()
 
 
 def betweenness_centrality(
