@@ -127,15 +127,33 @@ def test_pagerank_star_skew(spark):
 def test_pagerank_blocks_vertex_subset_drops_unknown_edges(spark):
     """blocks mode resolves ids through the broadcast searchsorted lookup
     (round-9 rewrite); edges touching ids outside vertices= must be dropped
-    exactly like the old inner pos-joins did."""
+    exactly like the old inner pos-joins did. The engine's contract (all
+    modes, unchanged since the pos-join implementation): dropped edges do
+    NOT propagate rank, but outdeg keeps the raw per-source edge count, so
+    a source with dropped out-edges distributes only the surviving
+    fraction of its rank — blocks must match the join modes bit-for-bit,
+    and both match a numpy walk using the raw outdegrees."""
     e = spark.createDataFrame(
         pd.DataFrame({"s": [0, 1, 2, 5, 0], "t": [1, 2, 0, 0, 7]})
     )
     v = spark.createDataFrame(pd.DataFrame({"id": [0, 1, 2]}))
-    oracle = pagerank_numpy_oracle(np.array([[0, 1], [1, 2], [2, 0]]), 3)
-    ranks, _ = pagerank(e, vertices=v, tol=1e-6, mode="blocks")
-    got = ranks.toPandas().sort_values("id")["rank"].values
-    assert np.allclose(got, oracle, atol=1e-6)
+    got = {}
+    for mode in ["blocks", "join"]:
+        ranks, _ = pagerank(e, vertices=v, tol=1e-6, mode=mode)
+        got[mode] = ranks.toPandas().sort_values("id")["rank"].values
+    assert np.allclose(got["blocks"], got["join"], atol=1e-12)
+    # numpy mirror of the contract: surviving edges [[0,1],[1,2],[2,0]],
+    # but vertex 0 keeps raw outdeg 2 (edge 0->7 dropped, not re-counted)
+    d, n = 0.85, 3
+    outdeg = np.array([2.0, 1.0, 1.0])
+    r = np.full(n, 1.0 / n)
+    for _ in range(200):
+        contrib = np.zeros(n)
+        contrib[1] += r[0] / outdeg[0]
+        contrib[2] += r[1] / outdeg[1]
+        contrib[0] += r[2] / outdeg[2]
+        r = (1 - d) / n + d * contrib
+    assert np.allclose(got["blocks"], r, atol=1e-6)
 
 
 def test_pagerank_blocks_resume(spark, tmp_path):
